@@ -1,0 +1,14 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-device semantics (pjit/shard_map/collectives) are validated on host CPU
+devices, mirroring how the driver dry-runs the multichip path. Must run
+before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

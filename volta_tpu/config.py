@@ -1,0 +1,258 @@
+"""Model configuration for VOLTA-TPU.
+
+A single config object describes the whole family of gated bimodal encoders
+(ViLBERT / LXMERT / VL-BERT / VisualBERT / UNITER and their CTRL variants).
+The JSON schema is kept compatible with the reference framework
+(reference: volta/config.py:11-181) so existing ``config/*.json`` files load
+verbatim, but the implementation is a typed dataclass with derived, static
+layer plans that the Flax modules consume at construction time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+
+def _intkeys(d: Dict[Any, Any]) -> Dict[str, Any]:
+    """Normalise sublayer-override dict keys to str (JSON round-trip safe)."""
+    return {str(k): v for k, v in (d or {}).items()}
+
+
+@dataclasses.dataclass
+class VoltaConfig:
+    """Architecture config for the gated bimodal encoder.
+
+    Field semantics mirror the reference JSON schema
+    (reference: volta/config.py:15-64): text-side sizes, vision-side ``v_*``
+    sizes, and the sublayer gating lists that *are* the model definition.
+    """
+
+    # --- Text side -------------------------------------------------------
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    pooler_size: int = 768
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    # --- Vision side ------------------------------------------------------
+    num_locs: int = 5
+    v_coordinate_embeddings_dim: Optional[int] = None
+    add_global_imgfeat: Optional[str] = None  # None | "first" | "last"
+    image_embeddings: str = "vilbert"
+    v_feature_size: int = 2048
+    v_hidden_size: int = 768
+    v_num_attention_heads: int = 12
+    v_intermediate_size: int = 3072
+    v_pooler_size: int = 1024
+    v_attention_probs_dropout_prob: float = 0.1
+    v_hidden_act: str = "gelu"
+    v_hidden_dropout_prob: float = 0.1
+    v_initializer_range: float = 0.2
+    # --- Sublayer gating (the model definition) ---------------------------
+    tt_attn_sublayers: List[int] = dataclasses.field(default_factory=list)
+    tv_attn_sublayers: List[int] = dataclasses.field(default_factory=list)
+    vt_attn_sublayers: List[int] = dataclasses.field(default_factory=list)
+    vv_attn_sublayers: List[int] = dataclasses.field(default_factory=list)
+    t_ff_sublayers: List[int] = dataclasses.field(default_factory=list)
+    v_ff_sublayers: List[int] = dataclasses.field(default_factory=list)
+    shared_sublayers: List[int] = dataclasses.field(default_factory=list)
+    single_ln_sublayers: List[int] = dataclasses.field(default_factory=list)
+    sublayer2attn_hidden_size: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sublayer2num_attention_heads: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sublayer2intermediate_size: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sublayer2v_attn_hidden_size: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sublayer2v_num_attention_heads: Dict[str, int] = dataclasses.field(default_factory=dict)
+    sublayer2v_intermediate_size: Dict[str, int] = dataclasses.field(default_factory=dict)
+    bert_layer2attn_sublayer: Dict[str, int] = dataclasses.field(default_factory=dict)
+    bert_layer2ff_sublayer: Dict[str, int] = dataclasses.field(default_factory=dict)
+    image_head_ln: bool = True
+    # --- Misc --------------------------------------------------------------
+    visual_target_weights: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {"0": 1.0}
+    )
+    fixed_layers: List[str] = dataclasses.field(default_factory=list)
+    fusion_method: str = "mul"  # sum|mul|text|vl-bert_vqa|none
+    objective: int = 0
+    clf_hidden_size: int = 1536
+    model: str = "bert"  # bert | roberta
+    visualization: bool = False
+    # --- TPU-native extensions (not in reference schema) -------------------
+    # Compute dtype for the encoder ("float32" | "bfloat16"); params stay fp32.
+    compute_dtype: str = "float32"
+    # Use the Pallas fused kernels where available.
+    use_pallas: bool = True
+
+    _KNOWN = None  # populated below
+
+    # ------------------------------------------------------------------ I/O
+    @classmethod
+    def from_dict(cls, obj: Dict[str, Any]) -> "VoltaConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in obj.items() if k in known}
+        cfg = cls(**kwargs)
+        # Tolerate (and preserve) unknown keys like the reference does
+        # (reference: volta/config.py:156-162 writes straight into __dict__).
+        for k, v in obj.items():
+            if k not in known:
+                setattr(cfg, k, v)
+        for name in (
+            "sublayer2attn_hidden_size",
+            "sublayer2num_attention_heads",
+            "sublayer2intermediate_size",
+            "sublayer2v_attn_hidden_size",
+            "sublayer2v_num_attention_heads",
+            "sublayer2v_intermediate_size",
+            "bert_layer2attn_sublayer",
+            "bert_layer2ff_sublayer",
+            "visual_target_weights",
+        ):
+            setattr(cfg, name, _intkeys(getattr(cfg, name)))
+        return cfg
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "VoltaConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {}
+        for f in dataclasses.fields(self):
+            out[f.name] = getattr(self, f.name)
+        # include dynamically attached keys
+        for k, v in self.__dict__.items():
+            if k not in out:
+                out[k] = v
+        return out
+
+    def to_json_string(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
+
+    # ------------------------------------------------------- derived plans
+    @property
+    def depth(self) -> int:
+        attn = set(self.tt_attn_sublayers) | set(self.tv_attn_sublayers) | \
+            set(self.vt_attn_sublayers) | set(self.vv_attn_sublayers)
+        ff = set(self.t_ff_sublayers) | set(self.v_ff_sublayers)
+        return len(attn) + len(ff)
+
+    def sublayer_plan(self) -> List["SublayerSpec"]:
+        """Static per-sublayer plan consumed by the encoder at build time.
+
+        Validates the same invariants the reference asserts at runtime
+        (reference: volta/encoders.py:842-843 contiguity,
+        volta/encoders.py:172-201 divisibility / cross-modal equality).
+        """
+        attn = set(self.tt_attn_sublayers) | set(self.tv_attn_sublayers) | \
+            set(self.vt_attn_sublayers) | set(self.vv_attn_sublayers)
+        ff = set(self.t_ff_sublayers) | set(self.v_ff_sublayers)
+        if attn & ff:
+            raise ValueError("Overlapping attn-ff sublayer numbers: %s" % (attn & ff))
+        all_ids = attn | ff
+        depth = len(all_ids)
+        if not all_ids or min(all_ids) != 0 or max(all_ids) != depth - 1:
+            raise ValueError("Non contiguous sublayer numbers")
+
+        plan = []
+        for n in range(depth):
+            kind = "attn" if n in attn else "ff"
+            spec = SublayerSpec(
+                index=n,
+                kind=kind,
+                has_tt=n in self.tt_attn_sublayers,
+                has_tv=n in self.tv_attn_sublayers,
+                has_vt=n in self.vt_attn_sublayers,
+                has_vv=n in self.vv_attn_sublayers,
+                has_t_ff=n in self.t_ff_sublayers,
+                has_v_ff=n in self.v_ff_sublayers,
+                shared=n in self.shared_sublayers,
+                single_ln=n in self.single_ln_sublayers,
+                attn_hidden_size=int(
+                    self.sublayer2attn_hidden_size.get(str(n), self.hidden_size)),
+                num_heads=int(
+                    self.sublayer2num_attention_heads.get(str(n), self.num_attention_heads)),
+                intermediate_size=int(
+                    self.sublayer2intermediate_size.get(str(n), self.intermediate_size)),
+                v_attn_hidden_size=int(
+                    self.sublayer2v_attn_hidden_size.get(str(n), self.v_hidden_size)),
+                v_num_heads=int(
+                    self.sublayer2v_num_attention_heads.get(str(n), self.v_num_attention_heads)),
+                v_intermediate_size=int(
+                    self.sublayer2v_intermediate_size.get(str(n), self.v_intermediate_size)),
+            )
+            spec.validate(self)
+            plan.append(spec)
+        return plan
+
+
+@dataclasses.dataclass
+class SublayerSpec:
+    """Static description of one sublayer of the gated encoder."""
+
+    index: int
+    kind: str  # "attn" | "ff"
+    has_tt: bool = False
+    has_tv: bool = False
+    has_vt: bool = False
+    has_vv: bool = False
+    has_t_ff: bool = False
+    has_v_ff: bool = False
+    shared: bool = False
+    single_ln: bool = False
+    attn_hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    v_attn_hidden_size: int = 768
+    v_num_heads: int = 12
+    v_intermediate_size: int = 3072
+
+    @property
+    def has_text(self) -> bool:
+        if self.kind == "attn":
+            return self.has_tt or self.has_tv
+        return self.has_t_ff
+
+    @property
+    def has_vision(self) -> bool:
+        if self.kind == "attn":
+            return self.has_vv or self.has_vt
+        return self.has_v_ff
+
+    @property
+    def share_params(self) -> bool:
+        return self.shared and self.has_text and self.has_vision
+
+    def validate(self, cfg: VoltaConfig) -> None:
+        if self.kind == "attn":
+            if self.attn_hidden_size % self.num_heads != 0:
+                raise ValueError(
+                    f"sublayer {self.index}: text attn hidden size "
+                    f"{self.attn_hidden_size} not divisible by {self.num_heads}")
+            if self.v_attn_hidden_size % self.v_num_heads != 0:
+                raise ValueError(
+                    f"sublayer {self.index}: vision attn hidden size "
+                    f"{self.v_attn_hidden_size} not divisible by {self.v_num_heads}")
+            if self.has_tv or self.has_vt:
+                if self.attn_hidden_size != self.v_attn_hidden_size or \
+                        self.num_heads != self.v_num_heads:
+                    raise ValueError(
+                        f"sublayer {self.index}: cross-modal attention requires "
+                        "equal hidden sizes and head counts")
+            if self.share_params and self.attn_hidden_size != self.v_attn_hidden_size:
+                raise ValueError(
+                    f"sublayer {self.index}: shared attention requires equal sizes")
+        else:
+            if self.share_params:
+                if cfg.hidden_size != cfg.v_hidden_size or \
+                        self.intermediate_size != self.v_intermediate_size:
+                    raise ValueError(
+                        f"sublayer {self.index}: shared FF requires equal sizes")
+        if self.single_ln and not (self.has_text and self.has_vision and self.shared):
+            raise ValueError(
+                f"sublayer {self.index}: single_ln requires text+vision+shared")
