@@ -1,0 +1,226 @@
+"""Pretraining and fine-tuning losses, re-expressed functionally.
+
+reference: volta/losses.py (the 7 masked-region objectives) and
+volta/encoders.py:1080-1109 (MLM / ITM). In-place index tricks become
+masked reductions over statically shaped arrays; the NCE negative sampling
+uses jax PRNG instead of torch's in-place ``random_``.
+
+Conventions: ``image_label`` is 1 for masked regions, -1/0 elsewhere
+(the global image feature row has already been stripped by the caller, as in
+reference: volta/encoders.py:1082-1085).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+# target dims per objective id (reference: volta/losses.py:129-137)
+PRE_VIS_TARGETS = {
+    "0": 1601, "1": 2048, "2": 2048, "3": 1600, "4": 400, "5": 2048, "6": 1601,
+}
+
+
+def cross_entropy_ignore(logits, labels, ignore_index: int = -1):
+    """Mean CE over positions whose label != ignore_index
+    (reference: volta/encoders.py:1030 CrossEntropyLoss(ignore_index=-1))."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom
+
+
+def binary_cross_entropy_with_logits(logits, targets, reduction="mean"):
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    per = jnp.maximum(logits, 0) - logits * targets + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if reduction == "mean":
+        return jnp.mean(per)
+    if reduction == "sum":
+        return jnp.sum(per)
+    return per
+
+
+def _masked_mean_positions(loss_per_region, label):
+    """sum(loss * [label==1]) / max(#masked, 1) (KLD/xent normalisation)."""
+    m = (label == 1).astype(jnp.float32)
+    return jnp.sum(loss_per_region * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _masked_mean_elements(loss_elem, label):
+    """Per-element masked mean: denominator counts masked *elements*
+    (reference: volta/losses.py:30-31 expands the mask to the loss shape)."""
+    m = (label == 1).astype(jnp.float32)[..., None]
+    m = jnp.broadcast_to(m, loss_elem.shape)
+    return jnp.sum(loss_elem * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def kl_1601(pred, weight, label, image_cls=None, image_feat=None,
+            obj_labels=None, obj_confs=None, attr_labels=None,
+            attr_confs=None, rng=None):
+    """KLD vs soft Faster-R-CNN class distribution — the CTRL default
+    (reference: volta/losses.py:16-22)."""
+    if image_cls is None:
+        return 0.0
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    tgt = image_cls.astype(jnp.float32)
+    # KLDivLoss(reduction=none): tgt * (log tgt - logp); define 0 log 0 = 0
+    elem = tgt * (jnp.where(tgt > 0, jnp.log(jnp.maximum(tgt, 1e-30)), 0.0)
+                  - logp)
+    per_region = jnp.sum(elem, axis=-1)
+    return weight * _masked_mean_positions(per_region, label)
+
+
+def mse_2048(pred, weight, label, image_cls=None, image_feat=None,
+             obj_labels=None, obj_confs=None, attr_labels=None,
+             attr_confs=None, rng=None):
+    """Feature regression (reference: volta/losses.py:25-33)."""
+    if image_feat is None:
+        return 0.0
+    elem = jnp.square(pred.astype(jnp.float32)
+                      - image_feat.astype(jnp.float32))
+    return weight * _masked_mean_elements(elem, label)
+
+
+def huber_2048(pred, weight, label, image_cls=None, image_feat=None,
+               obj_labels=None, obj_confs=None, attr_labels=None,
+               attr_confs=None, rng=None):
+    """SmoothL1 feature regression (reference: volta/losses.py:108-116)."""
+    if image_feat is None:
+        return 0.0
+    d = pred.astype(jnp.float32) - image_feat.astype(jnp.float32)
+    ad = jnp.abs(d)
+    elem = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+    return weight * _masked_mean_elements(elem, label)
+
+
+def _xent_conf(pred, weight, label, targets, confs, num_classes):
+    logits = pred.astype(jnp.float32).reshape(-1, num_classes)
+    t = targets.reshape(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, jnp.clip(t, 0, num_classes - 1)[:, None], axis=-1)[:, 0]
+    if confs is not None:
+        nll = nll * confs.reshape(-1).astype(jnp.float32)
+    m = (label.reshape(-1) == 1).astype(jnp.float32)
+    return weight * jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def xent_1600(pred, weight, label, image_cls=None, image_feat=None,
+              obj_labels=None, obj_confs=None, attr_labels=None,
+              attr_confs=None, rng=None):
+    """Hard object labels x detector confidence
+    (reference: volta/losses.py:86-94)."""
+    if obj_labels is None or obj_confs is None:
+        return 0.0
+    return _xent_conf(pred, weight, label, obj_labels, obj_confs, 1600)
+
+
+def xent_400(pred, weight, label, image_cls=None, image_feat=None,
+             obj_labels=None, obj_confs=None, attr_labels=None,
+             attr_confs=None, rng=None):
+    """Hard attribute labels x confidence (reference: volta/losses.py:97-105)."""
+    if attr_labels is None or attr_confs is None:
+        return 0.0
+    return _xent_conf(pred, weight, label, attr_labels, attr_confs, 400)
+
+
+def xent_1601(pred, weight, label, image_cls=None, image_feat=None,
+              obj_labels=None, obj_confs=None, attr_labels=None,
+              attr_confs=None, rng=None):
+    """Hard object labels, no confidence (reference: volta/losses.py:119-126)."""
+    if obj_labels is None:
+        return 0.0
+    return _xent_conf(pred, weight, label, obj_labels, None, 1601)
+
+
+def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
+             obj_labels=None, obj_confs=None, attr_labels=None,
+             attr_confs=None, rng=None, num_negative: int = 128):
+    """Contrastive feature prediction with 128 negatives, 70% cross-batch /
+    30% in-batch (reference: volta/losses.py:36-83).
+
+    Computed densely over all regions with the masked-position mean taken at
+    the end (XLA-friendly; reference gathers masked rows first — identical
+    expectation).
+    """
+    if image_feat is None:
+        return 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, r, d = image_feat.shape
+    n_across = int(num_negative * 0.7)
+    n_inside = num_negative - int(num_negative * 0.7) \
+        if False else int(num_negative * 0.3)
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    # cross-batch: random rows != own row (remapped to b-1 like the reference)
+    row_across = jax.random.randint(k1, (b, r, n_across), 0, b - 1)
+    own = jnp.arange(b)[:, None, None]
+    row_across = jnp.where(row_across == own, b - 1, row_across)
+    col_across = jax.random.randint(k2, (b, r, n_across), 0, r)
+    idx_across = row_across * r + col_across
+    # in-batch: own row, random cols != own col
+    col_inside = jax.random.randint(k3, (b, r, n_inside), 0, r - 1)
+    own_col = jnp.arange(r)[None, :, None]
+    col_inside = jnp.where(col_inside == own_col, r - 1, col_inside)
+    idx_inside = own * r + col_inside
+    neg_idx = jnp.concatenate([idx_across, idx_inside], axis=-1)  # [b,r,N]
+
+    flat = image_feat.reshape(b * r, d).astype(jnp.float32)
+    negs = flat[neg_idx.reshape(-1)].reshape(b, r, num_negative, d)
+    pos = image_feat.astype(jnp.float32)[..., None, :]  # [b,r,1,d]
+    samples = jnp.concatenate([pos, negs], axis=2)  # [b,r,1+N,d]
+    scores = jnp.einsum("brnd,brd->brn", samples, pred.astype(jnp.float32))
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    nll = -logp[..., 0]  # positive is class 0
+    return weight * _masked_mean_positions(nll, label)
+
+
+PRE_VIS_CRITERIONS = {
+    "0": kl_1601,
+    "1": mse_2048,
+    "2": nce_2048,
+    "3": xent_1600,
+    "4": xent_400,
+    "5": huber_2048,
+    "6": xent_1601,
+}
+
+
+def pretraining_losses(cfg, outputs: Dict, *, masked_lm_labels=None,
+                       image_label=None, image_cls=None, image_feat=None,
+                       obj_labels=None, obj_confs=None, attr_labels=None,
+                       attr_confs=None, next_sentence_label=None, rng=None):
+    """MLM + weighted masked-region + ITM losses
+    (reference: volta/encoders.py:1080-1112).
+
+    The caller passes region tensors already stripped of the global image
+    feature row; ``outputs['mrm_logits']`` rows are stripped here per
+    ``add_global_imgfeat``.
+    """
+    add = cfg.add_global_imgfeat
+    img_loss = 0.0
+    for ix, weight in cfg.visual_target_weights.items():
+        if weight <= 0:
+            continue
+        scores = outputs["mrm_logits"][ix]
+        scores = scores[:, :-1] if add == "last" else (
+            scores[:, 1:] if add == "first" else scores)
+        img_loss = img_loss + PRE_VIS_CRITERIONS[ix](
+            scores, weight, image_label, image_cls, image_feat,
+            obj_labels, obj_confs, attr_labels, attr_confs, rng=rng)
+
+    mlm = cross_entropy_ignore(outputs["mlm_logits"], masked_lm_labels) \
+        if masked_lm_labels is not None else 0.0
+    itm = 0.0
+    if outputs["itm_logits"] is not None and next_sentence_label is not None:
+        itm = cross_entropy_ignore(outputs["itm_logits"], next_sentence_label)
+    return mlm, img_loss, itm

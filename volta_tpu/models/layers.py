@@ -1,0 +1,98 @@
+"""Shared Flax building blocks: TF-style LayerNorm, activations, init.
+
+Numerics notes:
+  * LayerNorm is TF-style — epsilon inside the square root, eps=1e-12 —
+    matching the reference (reference: volta/encoders.py:48-61 and apex
+    fused_layer_norm). Statistics are always computed in float32 even when
+    the surrounding compute dtype is bfloat16.
+  * gelu is the exact erf formulation (reference: volta/encoders.py:130-136),
+    not the tanh approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+LN_EPS = 1e-12
+
+
+def gelu(x):
+    return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+ACT2FN: dict[str, Callable] = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "swish": swish,
+}
+
+
+def layer_norm_ref(x, scale, bias, eps: float = LN_EPS):
+    """Plain-XLA layernorm; fp32 statistics, output in x.dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    """TF-style layernorm with learnable scale/bias.
+
+    ``use_pallas`` switches to the fused Pallas kernel on TPU (set from
+    config; falls back to XLA on other backends automatically).
+    """
+
+    dim: int
+    eps: float = LN_EPS
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if self.use_pallas:
+            from ..ops.layernorm import fused_layer_norm
+            return fused_layer_norm(x, scale, bias, eps=self.eps)
+        return layer_norm_ref(x, scale, bias, eps=self.eps)
+
+
+def dense(features: int, stddev: float, dtype, name: str) -> nn.Dense:
+    """Linear layer with the reference's init: N(0, initializer_range) kernel,
+    zero bias (reference: volta/encoders.py:904-915)."""
+    return nn.Dense(
+        features,
+        kernel_init=nn.initializers.normal(stddev=stddev),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def embed(num: int, features: int, stddev: float, name: str,
+          zero_pad_row: bool = False) -> nn.Embed:
+    """Embedding table with N(0, stddev) init; optionally zero row 0 to match
+    torch's padding_idx=0 initialisation."""
+    base = nn.initializers.normal(stddev=stddev)
+
+    def init(key, shape, dtype=jnp.float32):
+        table = base(key, shape, dtype)
+        if zero_pad_row:
+            table = table.at[0].set(0.0)
+        return table
+
+    return nn.Embed(num, features, embedding_init=init,
+                    param_dtype=jnp.float32, name=name)

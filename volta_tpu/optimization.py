@@ -1,0 +1,197 @@
+"""Optimizers and LR schedules (Optax).
+
+Covers the reference's optimization surface:
+  * AdamW with the ``correct_bias=False`` semantics of
+    pytorch_transformers' BertAdam-style AdamW (reference:
+    train_task.py:221-226 uses AdamW(correct_bias=False)).
+  * RAdam / PlainRAdam (reference: volta/optimization.py:9-169).
+  * warmup-linear / warmup-constant schedules (reference:
+    train_task.py:227-234).
+  * per-parameter no-decay masks for bias / LayerNorm params
+    (reference: train_task.py:207-218).
+
+All are optax GradientTransformations — XLA fuses the elementwise update
+across the parameter pytree, replacing apex's multi_tensor kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------- schedules
+def warmup_linear_schedule(base_lr: float, warmup_steps: int,
+                           total_steps: int) -> optax.Schedule:
+    """Linear warmup then linear decay to 0
+    (pytorch_transformers WarmupLinearSchedule semantics)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.maximum(warmup_steps, 1)
+        t = jnp.maximum(total_steps, 1)
+        warm = step / w
+        decay = jnp.maximum(0.0, (t - step) / jnp.maximum(1.0, t - w))
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+def warmup_constant_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """Linear warmup then constant."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.maximum(warmup_steps, 1)
+        return base_lr * jnp.where(step < warmup_steps, step / w, 1.0)
+
+    return fn
+
+
+def constant_schedule(base_lr: float) -> optax.Schedule:
+    return lambda step: jnp.full((), base_lr, jnp.float32)
+
+
+SCHEDULES = {
+    "warmup_linear": warmup_linear_schedule,
+    "warmup_constant": lambda lr, w, t: warmup_constant_schedule(lr, w),
+    "constant": lambda lr, w, t: constant_schedule(lr),
+}
+
+
+# ------------------------------------------------------------------- masks
+def no_decay_mask(params) -> Any:
+    """True where weight decay applies; bias and LayerNorm scale/bias are
+    excluded (reference: train_task.py:207-218 matches 'bias', 'LayerNorm')."""
+
+    def decide(path, _):
+        names = [p.key for p in path if hasattr(p, "key")]
+        leaf = names[-1] if names else ""
+        if leaf in ("bias", "scale"):
+            return False
+        if any("ln" == n or n.endswith("_ln") or "layer_norm" in n
+               for n in names):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+# ------------------------------------------------------------------- adamw
+def adamw(lr: Any, *, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01,
+          correct_bias: bool = False, mask=None) -> optax.GradientTransformation:
+    """AdamW; ``correct_bias=False`` skips the bias-correction terms exactly
+    like pytorch_transformers' default used by the reference trainers."""
+    if correct_bias:
+        tx = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+    else:
+        tx = _scale_by_adam_no_correction(b1=b1, b2=b2, eps=eps)
+    pieces = [tx]
+    if weight_decay > 0:
+        pieces.append(optax.add_decayed_weights(weight_decay, mask=mask))
+    pieces.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*pieces)
+
+
+class _AdamState(NamedTuple):
+    mu: Any
+    nu: Any
+
+
+def _scale_by_adam_no_correction(b1, b2, eps):
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return _AdamState(jax.tree.map(z, params), jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        upd = jax.tree.map(lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+        return upd, _AdamState(mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ------------------------------------------------------------------- radam
+class _RAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def radam(lr: Any, *, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+          degenerated_to_sgd: bool = True,
+          mask=None) -> optax.GradientTransformation:
+    """Rectified Adam (reference: volta/optimization.py:9-93).
+
+    When the variance rectification term is non-positive, falls back to an
+    SGD-style step (``degenerated_to_sgd``) exactly as the reference's
+    RAdam (not PlainRAdam with degenerated_to_sgd=False).
+    """
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return _RAdamState(jnp.zeros((), jnp.int32),
+                           jax.tree.map(z, params), jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        b1t = b1 ** tf
+        b2t = b2 ** tf
+        rho = rho_inf - 2.0 * tf * b2t / (1.0 - b2t)
+        rect = jnp.sqrt(jnp.maximum(
+            ((rho - 4) * (rho - 2) * rho_inf) /
+            jnp.maximum((rho_inf - 4) * (rho_inf - 2) * rho, 1e-12), 0.0))
+        adaptive = rho > 4.0
+        step_adapt = rect / (1.0 - b1t)
+        step_sgd = (1.0 / (1.0 - b1t)) if degenerated_to_sgd else 0.0
+
+        def leaf(m, v):
+            denom = jnp.sqrt(v / (1.0 - b2t)) + eps
+            return jnp.where(adaptive, step_adapt * m / denom,
+                             step_sgd * m)
+
+        upd = jax.tree.map(leaf, mu, nu)
+        return upd, _RAdamState(t, mu, nu)
+
+    pieces = [optax.GradientTransformation(init, update)]
+    if weight_decay > 0:
+        pieces.append(optax.add_decayed_weights(weight_decay, mask=mask))
+    pieces.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*pieces)
+
+
+def plain_radam(lr, **kw):
+    """PlainRAdam (reference: volta/optimization.py:96-169): no SGD fallback."""
+    kw["degenerated_to_sgd"] = False
+    return radam(lr, **kw)
+
+
+# -------------------------------------------------------------- assembly
+def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
+                    clip_norm: Optional[float] = None,
+                    grad_accum_steps: int = 1) -> optax.GradientTransformation:
+    """Assemble the full chain: clip -> optimizer(+decay mask) -> accum."""
+    mask = no_decay_mask(params)
+    if name == "adamw":
+        tx = adamw(schedule, weight_decay=weight_decay, mask=mask)
+    elif name == "radam":
+        tx = radam(schedule, weight_decay=weight_decay, mask=mask)
+    elif name == "plain_radam":
+        tx = plain_radam(schedule, weight_decay=weight_decay, mask=mask)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
