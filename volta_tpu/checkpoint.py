@@ -1,0 +1,361 @@
+"""Checkpoint I/O: torch-format importers and Orbax train-state persistence.
+
+Importers (reference: volta/utils.py:250-560):
+  * VOLTA-format torch ``.bin`` state dicts (the published checkpoints),
+  * HF BERT checkpoints with the BERT-layer -> VOLTA-sublayer remapping
+    driven by ``bert_layer2attn_sublayer`` / ``bert_layer2ff_sublayer``
+    (reference: volta/utils.py:475-498),
+  * gamma/beta -> weight/bias renames (reference: volta/utils.py:461-473),
+  * token-type embedding resize (reference: train_concap.py:188-195).
+
+Orbax side: async-capable save/restore of the full train state
+(params/optimizer/step/metrics), replacing the reference's
+``pytorch_ckpt_latest.tar`` bundle (reference: volta/train_utils.py:295-340)
+with preemption-tolerant auto-resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .config import VoltaConfig
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------- torch I/O
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.bin``/``.tar`` checkpoint into numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        k = re.sub(r"^module\.", "", k)  # DDP prefix strip
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[k] = np.asarray(v.detach().cpu().numpy()) \
+            if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# ------------------------------------------------------- name derivation
+_EMB_MAP_COMMON = {
+    "word_embeddings": ("word_embeddings", "embed"),
+    "position_embeddings": ("position_embeddings", "embed"),
+    "token_type_embeddings": ("token_type_embeddings", "embed"),
+    "layer_norm": ("LayerNorm", "ln"),
+}
+
+_EMB_MAP_BY_VARIANT = {
+    "uniter": {
+        "feat_dense": ("image_embeddings", "dense"),
+        "loc_dense": ("image_location_embeddings", "dense"),
+        "feat_ln": ("image_layer_norm", "ln"),
+        "loc_ln": ("image_location_layer_norm", "ln"),
+        "v_layer_norm": ("v_LayerNorm", "ln"),
+    },
+    "visualbert": {
+        "projection": ("projection", "dense"),
+        "token_type_embeddings_visual": ("token_type_embeddings_visual", "embed"),
+        "position_embeddings_visual": ("position_embeddings_visual", "embed"),
+    },
+    "vl-bert": {
+        "obj_downsample": ("obj_downsample.1", "dense"),
+        "object_linguistic_embeddings": ("object_linguistic_embeddings", "embed"),
+        "object_mask_word_embedding": ("object_mask_word_embedding", "param2d"),
+        "object_mask_visual_embedding": ("object_mask_visual_embedding", "param2d"),
+        "end_embedding": ("end_embedding", "embed"),
+        "visual_1x1_text": ("visual_1x1_text", "dense"),
+        "visual_1x1_object": ("visual_1x1_object", "dense"),
+        "visual_ln_text": ("visual_ln_text", "ln"),
+        "visual_ln_object": ("visual_ln_object", "ln"),
+    },
+    # dual-stream v_embeddings
+    "vilbert_v": {
+        "feat_dense": ("image_embeddings", "dense"),
+        "loc_dense": ("image_location_embeddings", "dense"),
+        "layer_norm": ("LayerNorm", "ln"),
+    },
+    "lxmert_v": {
+        "feat_dense": ("image_embeddings", "dense"),
+        "loc_dense": ("image_location_embeddings", "dense"),
+        "feat_ln": ("ImgLayerNorm", "ln"),
+        "loc_ln": ("LocLayerNorm", "ln"),
+    },
+}
+
+_ATTN_MAP = {
+    "query": ("attention_self.query", "dense"),
+    "key": ("attention_self.key", "dense"),
+    "value": ("attention_self.value", "dense"),
+    "v_query": ("attention_self.v_query", "dense"),
+    "v_key": ("attention_self.v_key", "dense"),
+    "v_value": ("attention_self.v_value", "dense"),
+    "out_dense": ("attention_output.dense", "dense"),
+    "out_ln": ("attention_output.LayerNorm", "ln"),
+    "v_out_dense": ("attention_output.v_dense", "dense"),
+    "v_out_ln": ("attention_output.v_LayerNorm", "ln"),
+}
+
+_FF_MAP = {
+    "inter_dense": ("intermediate.dense", "dense"),
+    "v_inter_dense": ("intermediate.v_dense", "dense"),
+    "out_dense": ("output.dense", "dense"),
+    "out_ln": ("output.LayerNorm", "ln"),
+    "v_out_dense": ("output.v_dense", "dense"),
+    "v_out_ln": ("output.v_LayerNorm", "ln"),
+}
+
+# HF BERT uses these inside encoder.layer.{i}.
+_HF_ATTN_MAP = {
+    "query": ("attention.self.query", "dense"),
+    "key": ("attention.self.key", "dense"),
+    "value": ("attention.self.value", "dense"),
+    "out_dense": ("attention.output.dense", "dense"),
+    "out_ln": ("attention.output.LayerNorm", "ln"),
+}
+
+_HF_FF_MAP = {
+    "inter_dense": ("intermediate.dense", "dense"),
+    "out_dense": ("output.dense", "dense"),
+    "out_ln": ("output.LayerNorm", "ln"),
+}
+
+_CLS_MAP = {
+    ("predictions", "transform_dense"): ("cls.predictions.transform.dense", "dense"),
+    ("predictions", "transform_ln"): ("cls.predictions.transform.LayerNorm", "ln"),
+    ("predictions", "decoder_bias"): ("cls.predictions.bias", "raw"),
+    ("image_predictions", "transform_dense"):
+        ("cls.imagePredictions.transform.dense", "dense"),
+    ("image_predictions", "transform_ln"):
+        ("cls.imagePredictions.transform.LayerNorm", "ln"),
+    ("bi_seq_relationship",): ("cls.bi_seq_relationship", "dense"),
+}
+
+
+def _ref_key(path: Tuple[str, ...], cfg: VoltaConfig, from_hf: bool
+             ) -> Optional[Tuple[str, str]]:
+    """Map one of our param-tree paths to (reference key prefix, kind)."""
+    if path[0] == "bert":
+        path = path[1:]
+        prefix = "bert."
+    else:
+        prefix = ""
+    # resolve "bert." lazily: reference checkpoints for the wrappers carry it,
+    # plain BertModel ones do not — the caller tries both.
+
+    if path[0] == "embeddings":
+        sub = path[1]
+        m = dict(_EMB_MAP_COMMON)
+        m.update(_EMB_MAP_BY_VARIANT.get(cfg.image_embeddings, {}))
+        if sub in m:
+            name, kind = m[sub]
+            return prefix + "embeddings." + name, kind
+        return None
+    if path[0] == "v_embeddings":
+        sub = path[1]
+        m = _EMB_MAP_BY_VARIANT.get(cfg.image_embeddings + "_v", {})
+        if sub in m:
+            name, kind = m[sub]
+            return prefix + "v_embeddings." + name, kind
+        return None
+    if path[0] == "encoder":
+        layer = path[1]  # attn_{n} | ff_{n}
+        sub = path[2]
+        kind_map = _ATTN_MAP if layer.startswith("attn_") else _FF_MAP
+        n = int(layer.split("_")[1])
+        if from_hf:
+            inv = {int(v): int(k) for k, v in
+                   (cfg.bert_layer2attn_sublayer if layer.startswith("attn_")
+                    else cfg.bert_layer2ff_sublayer).items()}
+            if n not in inv:
+                return None
+            i = inv[n]
+            hf_map = _HF_ATTN_MAP if layer.startswith("attn_") else _HF_FF_MAP
+            if sub not in hf_map:
+                return None  # vision params never come from HF BERT
+            name, kind = hf_map[sub]
+            return prefix + f"encoder.layer.{i}." + name, kind
+        if sub not in kind_map:
+            return None
+        name, kind = kind_map[sub]
+        return prefix + f"encoder.layer.{n}." + name, kind
+    if path[0] == "t_pooler":
+        if from_hf:
+            return None  # sizes differ; keep init
+        return prefix + "t_pooler.dense", "dense"
+    if path[0] == "v_pooler":
+        if from_hf:
+            return None
+        return prefix + "v_pooler.dense", "dense"
+    if path[0] == "cls":
+        if path[1] == "image_predictions" and path[2].startswith("decoder_"):
+            ix = path[2].split("_")[1]
+            return f"cls.imagePredictions.decoder_dict.{ix}", "dense"
+        for k, v in _CLS_MAP.items():
+            if tuple(path[1:1 + len(k)]) == k:
+                return v
+        return None
+    if path[0].startswith("clf_"):
+        task = path[0][len("clf_"):]
+        base = f"clfs_dict.{task}"
+        if len(path) == 1:  # bare Dense clf
+            return base, "dense"
+        sub = path[1]
+        m = {"dense1": (".logit_fc.0", "dense"), "ln": (".logit_fc.2", "ln"),
+             "dense2": (".logit_fc.3", "dense")}
+        m2 = {"dense1": (".0", "dense"), "dense2": (".3", "dense")}
+        if sub in m:
+            name, kind = m[sub]
+            return base + name, kind
+        if sub in m2:
+            name, kind = m2[sub]
+            return base + name, kind
+        return None
+    return None
+
+
+def _fetch(sd: Dict[str, np.ndarray], key: str, leaf: str, kind: str,
+           used: set) -> Optional[np.ndarray]:
+    """Pull one leaf (kernel/bias/scale/embedding) from the state dict."""
+    def take(full, transpose=False):
+        v = sd.get(full)
+        if v is not None:
+            used.add(full)
+            return v.T if transpose else v
+        return None
+
+    if kind == "dense":
+        if leaf == "kernel":
+            return take(key + ".weight", transpose=True)
+        return take(key + ".bias")
+    if kind == "ln":
+        return take(key + (".weight" if leaf == "scale" else ".bias"))
+    if kind in ("embed", "param2d"):
+        return take(key + ".weight")
+    if kind == "raw":
+        return take(key)
+    return None
+
+
+def import_state_dict(cfg: VoltaConfig, params: Any,
+                      sd: Dict[str, np.ndarray], *, from_hf: bool = False,
+                      strict: bool = False) -> Tuple[Any, Dict[str, Any]]:
+    """Overlay a torch state dict onto an initialised Flax param pytree.
+
+    Returns (new_params, report) where report lists loaded / skipped paths
+    and state-dict keys that went unused.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    has_bert_keys = any(k.startswith("bert.") for k in sd)
+
+    new_leaves = []
+    loaded, skipped, used = [], [], set()
+    for path, leaf in flat:
+        names = tuple(p.key for p in path)
+        if names and names[0] == "params":
+            names = names[1:]
+        ref = _ref_key(names, cfg, from_hf)
+        val = None
+        if ref is not None:
+            key, kind = ref
+            candidates = [key]
+            if key.startswith("bert.") and not has_bert_keys:
+                candidates.append(key[len("bert."):])
+            elif not key.startswith("bert.") and has_bert_keys:
+                candidates.insert(0, "bert." + key)
+            for cand in candidates:
+                val = _fetch(sd, cand, names[-1], kind, used)
+                if val is not None:
+                    break
+        if val is None:
+            skipped.append(".".join(names))
+            new_leaves.append(leaf)
+            continue
+        val = np.asarray(val, dtype=np.asarray(leaf).dtype)
+        if val.shape != leaf.shape:
+            # token-type resize: copy the leading rows
+            # (reference: train_concap.py:188-195)
+            if ("token_type_embeddings" in names and
+                    val.shape[0] < leaf.shape[0] and
+                    val.shape[1:] == leaf.shape[1:]):
+                grown = np.array(leaf)
+                grown[: val.shape[0]] = val
+                val = grown
+            elif strict:
+                raise ValueError(
+                    f"shape mismatch for {'.'.join(names)}: "
+                    f"{val.shape} vs {leaf.shape}")
+            else:
+                skipped.append(".".join(names) + " (shape)")
+                new_leaves.append(leaf)
+                continue
+        loaded.append(".".join(names))
+        new_leaves.append(val)
+
+    report = {
+        "loaded": loaded,
+        "skipped": skipped,
+        "unused": sorted(set(sd) - used),
+    }
+    if strict and report["skipped"]:
+        raise ValueError(f"missing keys: {report['skipped']}")
+    new_params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return new_params, report
+
+
+def from_pretrained(cfg: VoltaConfig, params: Any, path: str, *,
+                    from_hf: bool = False) -> Tuple[Any, Dict[str, Any]]:
+    """Load a torch checkpoint file onto ``params``."""
+    sd = load_torch_state_dict(path)
+    if not from_hf:
+        # auto-detect HF BERT checkpoints by their layer naming
+        from_hf = any(".attention.self.query." in k for k in sd)
+    return import_state_dict(cfg, params, sd, from_hf=from_hf)
+
+
+# ----------------------------------------------------------- orbax bundles
+def save_train_state(ckpt_dir: str, step: int, state: Any, *,
+                     keep: int = 3) -> None:
+    """Save the full train state under ``ckpt_dir/<step>``; async-capable."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(
+            ckpt_dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        return mgr.latest_step()
+
+
+def restore_train_state(ckpt_dir: str, target: Any,
+                        step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore train state; ``target`` provides the pytree structure."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        state = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    return state, step
