@@ -47,8 +47,11 @@ def _bwd_kernel(g_ref, x_ref, scale_ref, mean_ref, rstd_ref,
     m1 = jnp.mean(gs, axis=-1, keepdims=True)
     m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
     dx_ref[:] = (rstd * (gs - m1 - xhat * m2)).astype(dx_ref.dtype)
-    dscale_ref[:] = jnp.sum(g * xhat, axis=0, keepdims=True)
-    dbias_ref[:] = jnp.sum(g, axis=0, keepdims=True)
+    # per-tile partials kept as (8, d) to satisfy TPU sublane tiling; the
+    # caller sums over tiles and sublanes
+    t, d = g.shape
+    dscale_ref[0] = jnp.sum((g * xhat).reshape(t // 8, 8, d), axis=0)
+    dbias_ref[0] = jnp.sum(g.reshape(t // 8, 8, d), axis=0)
 
 
 def _rows(x):
@@ -101,17 +104,19 @@ def _bwd_call(res, g):
         ],
         out_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), g.dtype),
-            jax.ShapeDtypeStruct((ntiles, d), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, d), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, 8, d), jnp.float32),
         ],
     )(g2, x2, scale, mean, rstd)
-    dscale = jnp.sum(dscale_p, axis=0)
-    dbias = jnp.sum(dbias_p, axis=0)
+    dscale = jnp.sum(dscale_p, axis=(0, 1))
+    dbias = jnp.sum(dbias_p, axis=(0, 1))
     return dx.reshape(orig_shape), dscale, dbias
 
 
@@ -139,7 +144,8 @@ def fused_layer_norm(x, scale, bias, eps: float = LN_EPS):
     """
     d = x.shape[-1]
     n = x.size // d
-    if (jax.default_backend() == "tpu" and n % min(_ROW_TILE, n) == 0
+    tile = min(_ROW_TILE, n)
+    if (jax.default_backend() == "tpu" and n % tile == 0 and tile % 8 == 0
             and d % 128 == 0 and n >= 8):
         return _pallas_layer_norm(x, scale, bias, eps)
     return layer_norm_ref(x, scale, bias, eps)

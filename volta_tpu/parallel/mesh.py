@@ -1,0 +1,84 @@
+"""Device mesh and sharding layout.
+
+TPU-native replacement for the reference's NCCL data parallelism
+(reference: apex/apex/parallel/distributed.py:129-639 and
+train_task.py:124's init_process_group): a single jitted train step over a
+``jax.sharding.Mesh``; gradient reduction compiles to an XLA psum on ICI.
+
+Axes:
+  * ``data``  — batch sharding (replaces DDP); spans all chips by default.
+  * ``model`` — optional tensor sharding of the FFN/attention projections
+    for models too wide for one chip (the reference has no TP; we expose it
+    as an optional richer form).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_pspec(path, leaf, n_model: int) -> P:
+    """Parameter layout. With ``model`` axis >1, shard the big projections:
+    FFN intermediate kernels over the output dim, output kernels over the
+    input dim, attention QKV over heads (output dim)."""
+    if n_model <= 1:
+        return P()
+    names = [p.key for p in path if hasattr(p, "key")]
+    leafname = names[-1] if names else ""
+    mod = names[-2] if len(names) >= 2 else ""
+    if leafname != "kernel" or leaf.ndim != 2:
+        return P()
+    if mod in ("inter_dense", "v_inter_dense", "query", "key", "value",
+               "v_query", "v_key", "v_value"):
+        return P(None, "model")
+    if mod in ("out_dense", "v_out_dense"):
+        return P("model", None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for the parameters (replicated on data,
+    optionally tensor-sharded on model)."""
+    n_model = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _param_pspec(path, leaf, n_model)), params)
+
+
+def state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a whole TrainState: parameter-shaped leaves
+    (params and optimizer moments — identified by their trailing path names)
+    get the tensor-parallel layout, everything else is replicated."""
+    n_model = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _param_pspec(path, leaf, n_model)
+            if hasattr(leaf, "ndim") else P()), state)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,157 @@
+"""Jitted train/eval steps over the device mesh.
+
+One ``jax.jit`` with donated train state replaces the reference's
+DataParallel/apex-DDP machinery (reference: train_task.py:246-291,
+train_concap.py:269-311): the batch is sharded on the mesh ``data`` axis and
+XLA emits the gradient psum over ICI; loss scaling for gradient accumulation
+is ``optax.MultiSteps`` inside the optimizer chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import pretraining_losses
+from ..task_utils import process_batch, task_loss_and_score
+from .mesh import batch_sharding, param_shardings, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: Any
+
+
+def create_train_state(rng, params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), rng=rng)
+
+
+# ------------------------------------------------------------- fine-tuning
+def make_task_train_step(model, tx, task_cfg: Dict, task_id: str,
+                         mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted fine-tuning step for one task."""
+    tc = task_cfg[task_id]
+    ttype, loss_name = tc["type"], tc.get("loss", "BCEWithLogitLoss")
+
+    def step_fn(state: TrainState, batch: Dict):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            inputs, info = process_batch(tc, batch)
+            pred, _ = model.apply(
+                {"params": params}, inputs["input_ids"], inputs["image_feat"],
+                inputs["image_loc"], task_id, inputs["token_type_ids"],
+                inputs["attention_mask"], inputs["image_attention_mask"],
+                deterministic=False, rngs={"dropout": dropout_rng})
+            loss, score = task_loss_and_score(ttype, pred, batch, info,
+                                              loss_name)
+            return loss, (score, info["batch_size"])
+
+        (loss, (score, bsz)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, rng=rng)
+        metrics = {"loss": loss, "score": score / bsz}
+        return new_state, metrics
+
+    return _jit_step(step_fn, mesh, donate)
+
+
+def make_task_eval_step(model, task_cfg: Dict, task_id: str, mesh=None
+                        ) -> Callable:
+    tc = task_cfg[task_id]
+    ttype, loss_name = tc["type"], tc.get("loss", "BCEWithLogitLoss")
+
+    def eval_fn(params, batch):
+        inputs, info = process_batch(tc, batch)
+        pred, _ = model.apply(
+            {"params": params}, inputs["input_ids"], inputs["image_feat"],
+            inputs["image_loc"], task_id, inputs["token_type_ids"],
+            inputs["attention_mask"], inputs["image_attention_mask"],
+            deterministic=True)
+        loss, score = task_loss_and_score(ttype, pred, batch, info, loss_name)
+        return {"loss": loss, "score": score,
+                "batch_size": info["batch_size"], "prediction": pred}
+
+    if mesh is not None:
+        return jax.jit(eval_fn,
+                       in_shardings=(None, batch_sharding(mesh)))
+    return jax.jit(eval_fn)
+
+
+# -------------------------------------------------------------- pretraining
+def make_pretrain_step(model, tx, cfg, objective: int = 0, mesh=None,
+                       donate: bool = True) -> Callable:
+    """CC pretraining step: MLM + masked-region + ITM
+    (reference: train_concap.py:269-311, incl. the objective-1 label masking
+    at train_concap.py:279-284 and objective-2 ITM zeroing)."""
+
+    def step_fn(state: TrainState, batch: Dict):
+        rng, dropout_rng, nce_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            lm_labels = batch["lm_label_ids"]
+            image_label = batch["image_label"]
+            is_match = batch["is_match"]
+            if objective == 1:
+                keep = (is_match == 0)[:, None]
+                lm_labels = jnp.where(keep, lm_labels, -1)
+                image_label = jnp.where(keep, image_label, -1)
+            out = model.apply(
+                {"params": params}, batch["input_ids"], batch["image_feat"],
+                batch["image_loc"], batch["segment_ids"], batch["input_mask"],
+                batch["image_mask"], deterministic=False,
+                rngs={"dropout": dropout_rng})
+            mlm, mrm, itm = pretraining_losses(
+                cfg, out, masked_lm_labels=lm_labels,
+                image_label=image_label,
+                image_cls=batch.get("image_cls"),
+                image_feat=_strip_global(cfg, batch["image_feat"]),
+                obj_labels=batch.get("obj_labels"),
+                obj_confs=batch.get("obj_confs"),
+                attr_labels=batch.get("attr_labels"),
+                attr_confs=batch.get("attr_confs"),
+                next_sentence_label=is_match, rng=nce_rng)
+            if objective == 2:
+                itm = itm * 0.0
+            return mlm + mrm + itm, (mlm, mrm, itm)
+
+        (loss, (mlm, mrm, itm)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, rng=rng)
+        return new_state, {"loss": loss, "masked_t": mlm, "masked_v": mrm,
+                           "itm": itm}
+
+    return _jit_step(step_fn, mesh, donate)
+
+
+def _strip_global(cfg, image_feat):
+    """Regression targets exclude the synthetic global feature row
+    (reference: volta/encoders.py:1082-1085)."""
+    if cfg.add_global_imgfeat == "first":
+        return image_feat[:, 1:]
+    if cfg.add_global_imgfeat == "last":
+        return image_feat[:, :-1]
+    return image_feat
+
+
+def _jit_step(step_fn, mesh, donate):
+    kw = {}
+    if donate:
+        kw["donate_argnums"] = (0,)
+    if mesh is not None:
+        kw["in_shardings"] = (None, batch_sharding(mesh))
+    return jax.jit(step_fn, **kw)
