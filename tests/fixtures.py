@@ -1,0 +1,100 @@
+"""Synthetic data fixtures: tiny LMDB feature stores, annotations, vocab."""
+
+import base64
+import json
+import os
+import pickle
+
+import numpy as np
+
+from volta_tpu.data import lmdbx
+from volta_tpu.data.tokenization import write_tiny_vocab
+
+WORDS = ["a", "the", "dog", "cat", "red", "ball", "is", "on", "in", "man",
+         "woman", "what", "color", "there", "two", "##s", "play", "run"]
+
+
+def make_vocab(tmpdir):
+    path = os.path.join(tmpdir, "vocab.txt")
+    write_tiny_vocab(path, WORDS)
+    return path
+
+
+def make_features_lmdb(tmpdir, image_ids, num_boxes=6, feature_size=32,
+                       seed=0, name="feat.lmdb"):
+    rng = np.random.RandomState(seed)
+    items = []
+    keys = []
+    for iid in image_ids:
+        key = str(iid).encode()
+        keys.append(key)
+        feats = rng.randn(num_boxes, feature_size).astype(np.float32)
+        x1 = rng.rand(num_boxes, 1) * 300
+        y1 = rng.rand(num_boxes, 1) * 200
+        boxes = np.concatenate(
+            [x1, y1, x1 + 1 + rng.rand(num_boxes, 1) * 100,
+             y1 + 1 + rng.rand(num_boxes, 1) * 100], 1).astype(np.float32)
+        rec = {
+            "img_h": 480, "img_w": 640,
+            "features": base64.b64encode(feats.tobytes()),
+            "boxes": base64.b64encode(boxes.tobytes()),
+        }
+        items.append((key, pickle.dumps(rec)))
+    items.append((b"keys", pickle.dumps(keys)))
+    path = os.path.join(tmpdir, name)
+    lmdbx.write(path, items)
+    return path
+
+
+def make_vqa_annotations(tmpdir, image_ids, n_questions=12, num_labels=9):
+    rng = np.random.RandomState(1)
+    questions = []
+    answers = []
+    for qid in range(n_questions):
+        iid = int(image_ids[qid % len(image_ids)])
+        questions.append({
+            "question_id": qid, "image_id": iid,
+            "question": "what color is the %s ?" % WORDS[qid % 5 + 2],
+        })
+        answers.append({
+            "question_id": qid, "image_id": iid,
+            "labels": [int(rng.randint(num_labels))],
+            "scores": [1.0],
+        })
+    with open(os.path.join(tmpdir,
+                           "v2_OpenEnded_mscoco_train2014_questions.json"),
+              "w") as f:
+        json.dump({"questions": questions}, f)
+    os.makedirs(os.path.join(tmpdir, "cache"), exist_ok=True)
+    with open(os.path.join(tmpdir, "cache", "train_target.pkl"), "wb") as f:
+        pickle.dump(answers, f)
+    ans = {("answer%d" % i): i for i in range(num_labels)}
+    with open(os.path.join(tmpdir, "trainval_ans2label.pkl"), "wb") as f:
+        pickle.dump(ans, f)
+    with open(os.path.join(tmpdir, "trainval_label2ans.pkl"), "wb") as f:
+        pickle.dump([k for k, _ in sorted(ans.items(), key=lambda x: x[1])],
+                    f)
+
+
+def make_nlvr2_annotations(tmpdir, n=8):
+    path = os.path.join(tmpdir, "train.json")
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "identifier": f"split-{i}-0",
+                "sentence": "there are two dogs",
+                "label": "True" if i % 2 else "False",
+            }) + "\n")
+    return path, [f"split-{i}-img0" for i in range(n)] + \
+        [f"split-{i}-img1" for i in range(n)]
+
+
+def make_retrieval_annotations(tmpdir, image_ids, sentences_per=2):
+    path = os.path.join(tmpdir, "train_ann.jsonl")
+    with open(path, "w") as f:
+        for iid in image_ids:
+            f.write(json.dumps({
+                "img_path": f"{iid}.jpg",
+                "sentences": ["a dog plays with a ball"] * sentences_per,
+            }) + "\n")
+    return path

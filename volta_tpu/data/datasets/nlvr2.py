@@ -1,0 +1,58 @@
+"""NLVR2: one sentence vs an image *pair*.
+
+reference: volta/datasets/nlvr2_dataset.py. The two images are concatenated
+into a single 2*max_region region axis with per-image segment ids; the
+``nlvr`` process splits them back into two rows at step time
+(reference: nlvr2_dataset.py:192-206, volta/task_utils.py:220-232).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import VLDataset, pad_regions, read_jsonlines
+import os
+
+
+class NLVR2Dataset(VLDataset):
+    def __init__(self, task, dataroot, annotations_jsonpath, split,
+                 image_features_reader, gt_image_features_reader, tokenizer,
+                 bert_model="bert-base-uncased", padding_index=0,
+                 max_seq_length=16, max_region_num=36, num_locs=5,
+                 add_global_imgfeat=None, append_mask_sep=False):
+        super().__init__(image_features_reader, tokenizer, padding_index,
+                         max_seq_length, max_region_num, num_locs,
+                         add_global_imgfeat, append_mask_sep,
+                         gt_image_features_reader)
+        self.split = split
+        self.num_labels = 2
+        path = annotations_jsonpath or os.path.join(dataroot,
+                                                    f"{split}.json")
+        self.entries = []
+        for count, ann in enumerate(read_jsonlines(path)):
+            base = "-".join(ann["identifier"].split("-")[:-1])
+            q, m, s = self._text(str(ann["sentence"]))
+            self.entries.append(dict(
+                question_id=count,
+                image_id_0=base + "-img0",
+                image_id_1=base + "-img1",
+                label=0 if str(ann["label"]) == "False" else 1,
+                q_tokens=q, q_mask=m, q_seg=s))
+
+    def __getitem__(self, index):
+        e = self.entries[index]
+        f0, l0, m0 = self._image(e["image_id_0"])
+        f1, l1, m1 = self._image(e["image_id_1"])
+        # concatenated pair on the region axis (reference:
+        # nlvr2_dataset.py:192-206)
+        feat = np.concatenate([f0, f1], axis=0)
+        loc = np.concatenate([l0, l1], axis=0)
+        vmask = np.concatenate([m0, m1], axis=0)
+        target = np.zeros((2,), np.float32)
+        target[e["label"]] = 1.0
+        return {
+            "features": feat, "spatials": loc, "image_mask": vmask,
+            "question": e["q_tokens"], "target": target,
+            "input_mask": e["q_mask"], "segment_ids": e["q_seg"],
+            "question_id": np.int64(e["question_id"]),
+        }

@@ -1,0 +1,184 @@
+"""Soft-target QA classification datasets: VQA v2, GQA, VisualGenome QA.
+
+reference: volta/datasets/vqa_dataset.py, gqa_dataset.py,
+visual_genome_dataset.py. All three share the pattern: questions json +
+precomputed (labels, scores) targets scattered into a num_labels-dim soft
+target vector (reference: vqa_dataset.py:273-281).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from .base import VLDataset
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class SoftTargetQADataset(VLDataset):
+    """Common core; subclasses provide entry loading."""
+
+    def __init__(self, task, dataroot, annotations_jsonpath, split,
+                 image_features_reader, gt_image_features_reader, tokenizer,
+                 bert_model="bert-base-uncased", padding_index=0,
+                 max_seq_length=16, max_region_num=36, num_locs=5,
+                 add_global_imgfeat=None, append_mask_sep=False):
+        super().__init__(image_features_reader, tokenizer, padding_index,
+                         max_seq_length, max_region_num, num_locs,
+                         add_global_imgfeat, append_mask_sep,
+                         gt_image_features_reader)
+        self.split = split
+        self.task = task
+        self.dataroot = dataroot
+        self.ans2label, self.label2ans = self._load_answer_space(dataroot)
+        self.num_labels = len(self.ans2label)
+        self.entries = self._load_entries(dataroot, annotations_jsonpath,
+                                          split)
+        for e in self.entries:
+            if "q_tokens" not in e:
+                e["q_tokens"], e["q_mask"], e["q_seg"] = \
+                    self._text(e["question"])
+
+    # subclass hooks ------------------------------------------------------
+    def _load_answer_space(self, dataroot):
+        ans2label = _load_pickle(
+            os.path.join(dataroot, "trainval_ans2label.pkl"))
+        label2ans = _load_pickle(
+            os.path.join(dataroot, "trainval_label2ans.pkl"))
+        return ans2label, label2ans
+
+    def _load_entries(self, dataroot, annotations_jsonpath, split):
+        raise NotImplementedError
+
+    # ----------------------------------------------------------------- get
+    def __getitem__(self, index):
+        e = self.entries[index]
+        feat, loc, vmask = self._image(e["image_id"])
+        target = np.zeros((self.num_labels,), np.float32)
+        labels = e.get("labels")
+        if labels is not None and len(labels):
+            target[np.asarray(labels, np.int64)] = np.asarray(
+                e["scores"], np.float32)
+        return {
+            "features": feat, "spatials": loc, "image_mask": vmask,
+            "question": e["q_tokens"], "target": target,
+            "input_mask": e["q_mask"], "segment_ids": e["q_seg"],
+            "question_id": np.int64(e["question_id"]),
+        }
+
+
+class VQAClassificationDataset(SoftTargetQADataset):
+    """VQA v2 (reference: volta/datasets/vqa_dataset.py:120-300).
+
+    File layout: v2_OpenEnded_mscoco_<split>2014_questions.json +
+    cache/<split>_target.pkl with per-question (labels, scores).
+    """
+
+    def _load_entries(self, dataroot, annotations_jsonpath, split):
+        def load_split(name, year="2014"):
+            qpath = os.path.join(
+                dataroot, f"v2_OpenEnded_mscoco_{name}{year}_questions.json")
+            qs = sorted(json.load(open(qpath))["questions"],
+                        key=lambda x: x["question_id"])
+            if "test" in name:
+                return [dict(question_id=q["question_id"],
+                             image_id=q["image_id"],
+                             question=q["question"],
+                             labels=None, scores=None) for q in qs]
+            apath = os.path.join(dataroot, "cache", f"{name}_target.pkl")
+            ans = sorted(_load_pickle(apath), key=lambda x: x["question_id"])
+            assert len(qs) == len(ans)
+            out = []
+            for q, a in zip(qs, ans):
+                assert q["question_id"] == a["question_id"]
+                out.append(dict(question_id=q["question_id"],
+                                image_id=q["image_id"],
+                                question=q["question"],
+                                labels=a["labels"], scores=a["scores"]))
+            return out
+
+        if split in ("train", "val"):
+            return load_split(split)
+        if split == "trainval":
+            return load_split("train") + load_split("val")[:-3000]
+        if split == "minval":
+            return load_split("val")[-3000:]
+        if split == "test":
+            return load_split("test", "2015")
+        raise ValueError(f"unknown VQA split {split}")
+
+
+class GQAClassificationDataset(SoftTargetQADataset):
+    """GQA (reference: volta/datasets/gqa_dataset.py): questions json dict
+    keyed by qid with {imageId, question, answer}; targets from
+    cache/<split>_target.pkl."""
+
+    def _load_entries(self, dataroot, annotations_jsonpath, split):
+        qpath = os.path.join(dataroot, f"{split}_questions.json")
+        if not os.path.exists(qpath):
+            qpath = annotations_jsonpath
+        questions = json.load(open(qpath))
+        if isinstance(questions, dict):
+            items = [dict(question_id=qid, image_id=v["imageId"],
+                          question=v["question"],
+                          answer=v.get("answer")) for qid, v in
+                     sorted(questions.items())]
+        else:
+            items = questions
+        tpath = os.path.join(dataroot, "cache", f"{split}_target.pkl")
+        if os.path.exists(tpath):
+            targets = {t["question_id"]: t for t in _load_pickle(tpath)}
+        else:
+            targets = {}
+        out = []
+        for it in items:
+            t = targets.get(it["question_id"], {})
+            labels = t.get("labels")
+            if labels is None and it.get("answer") is not None and \
+                    it["answer"] in self.ans2label:
+                labels, scores = [self.ans2label[it["answer"]]], [1.0]
+            else:
+                scores = t.get("scores")
+            out.append(dict(question_id=it["question_id"],
+                            image_id=it["image_id"],
+                            question=it["question"],
+                            labels=labels, scores=scores))
+        return out
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        # GQA question ids are strings; keep an integer surrogate for
+        # collation and map back at prediction-dump time
+        e = self.entries[index]
+        item["question_id"] = np.int64(index)
+        return item
+
+
+class GenomeQAClassificationDataset(SoftTargetQADataset):
+    """VisualGenome QA (reference: volta/datasets/visual_genome_dataset.py):
+    question_answers.json with per-image qas lists."""
+
+    def _load_entries(self, dataroot, annotations_jsonpath, split):
+        path = annotations_jsonpath or os.path.join(
+            dataroot, "question_answers.json")
+        data = json.load(open(path))
+        out = []
+        for img in data:
+            for qa in img.get("qas", []):
+                ans = str(qa.get("answer", "")).strip().strip(".").lower()
+                labels = [self.ans2label[ans]] if ans in self.ans2label \
+                    else None
+                out.append(dict(question_id=qa["qa_id"],
+                                image_id=qa["image_id"],
+                                question=qa["question"],
+                                labels=labels,
+                                scores=[1.0] if labels else None))
+        return out
