@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Evaluate a fine-tuned model on a task split and dump predictions.
+
+reference: eval_task.py. Writes ``<split>_result.json`` with the per-task
+prediction records (reference: volta/task_utils.py:540-616).
+"""
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--from_pretrained", default="", type=str)
+    p.add_argument("--bert_model", default="bert-base-uncased", type=str)
+    p.add_argument("--config_file", default="configs/ctrl_uniter_base.json",
+                   type=str)
+    p.add_argument("--output_dir", default="results", type=str)
+    p.add_argument("--save_name", default="", type=str)
+    p.add_argument("--tasks_config_file",
+                   default="config_tasks/ctrl_test_tasks.yml", type=str)
+    p.add_argument("--task", default="1", type=str)
+    p.add_argument("--split", default="", type=str)
+    p.add_argument("--do_lower_case", action="store_true", default=True)
+    p.add_argument("--vocab_file", default="", type=str)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--drop_last", action="store_true")
+    p.add_argument("--in_memory", default=False, type=bool)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no_pallas", action="store_true")
+    return p.parse_args()
+
+
+def collect_results(task_type, prediction, batch, info, dataset, results):
+    """Prediction records per task type
+    (reference: volta/task_utils.py:540-616)."""
+    pred = np.asarray(prediction)
+    qids = np.asarray(batch["question_id"])
+    if task_type == "VL-classifier":
+        for qid, row in zip(qids, pred.argmax(1)):
+            results.append({"question_id": int(qid),
+                            "answer": dataset.label2ans[int(row)]})
+    elif task_type == "VL-classifier-GQA":
+        for qid, row in zip(qids, pred.argmax(1)):
+            true_qid = dataset.entries[int(qid)]["question_id"]
+            results.append({"questionId": str(true_qid),
+                            "prediction": dataset.label2ans[int(row)]})
+    elif task_type == "VL-logit":
+        logit = pred.reshape(info["batch_size"], info["num_options"])
+        probs = np.exp(logit - logit.max(1, keepdims=True))
+        probs /= probs.sum(1, keepdims=True)
+        for qid, row in zip(qids, probs):
+            results.append({"question_id": int(qid),
+                            "answer": [float(p) for p in row]})
+    elif task_type.startswith("V-logit"):
+        sel = pred[..., 0].argmax(1)
+        tgt = np.asarray(batch["target"])[..., 0]
+        picked = np.take_along_axis(tgt, sel[:, None], 1)[:, 0]
+        for qid, s, iou in zip(qids, sel, picked):
+            results.append({"id": int(qid), "target": int(s),
+                            "IOU": float(iou)})
+    else:  # binary / tri classifiers
+        for qid, row in zip(qids, pred.argmax(1)):
+            results.append({"question_id": int(qid), "answer": int(row)})
+    return results
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from volta_tpu.checkpoint import from_pretrained
+    from volta_tpu.config import VoltaConfig
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.parallel import make_task_eval_step
+    from volta_tpu.task_utils import (load_dataset_eval, load_task_config,
+                                      process_batch, task_key)
+
+    cfg = VoltaConfig.from_json_file(args.config_file)
+    cfg.compute_dtype = args.compute_dtype
+    if args.no_pallas:
+        cfg.use_pallas = False
+    task_cfg = load_task_config(args.tasks_config_file)
+    task = task_key(args.task)
+    tc = task_cfg[task]
+
+    data = load_dataset_eval(args, cfg, task_cfg, args.task)
+    ds, loader = data["dataset"], data["loader"]
+    if "num_labels" not in tc and hasattr(ds, "num_labels"):
+        tc["num_labels"] = ds.num_labels
+
+    model = VoltaForVLTasks(cfg, task_cfg, (task,))
+    sample = next(iter(loader))
+    inputs, _ = process_batch(tc, sample)
+    variables = jax.jit(lambda r: model.init(
+        r, np.asarray(inputs["input_ids"]), np.asarray(inputs["image_feat"]),
+        np.asarray(inputs["image_loc"]), task,
+        np.asarray(inputs["token_type_ids"]),
+        np.asarray(inputs["attention_mask"]),
+        np.asarray(inputs["image_attention_mask"])))(jax.random.PRNGKey(0))
+    if args.from_pretrained:
+        variables, report = from_pretrained(cfg, variables,
+                                            args.from_pretrained)
+        logger.info("loaded %d tensors", len(report["loaded"]))
+
+    eval_step = make_task_eval_step(model, task_cfg, task)
+
+    results = []
+    total_loss, total_score, total_n = 0.0, 0.0, 0
+    for batch in loader:
+        out = eval_step(variables["params"], batch)
+        total_loss += float(out["loss"])
+        total_score += float(out["score"])
+        total_n += int(out["batch_size"])
+        from volta_tpu.task_utils import process_batch as pb
+        _, info = pb(tc, batch)
+        collect_results(tc["type"], out["prediction"], batch, info, ds,
+                        results)
+    if total_n:
+        logger.info("eval loss %.4f score %.4f", total_loss / max(total_n, 1),
+                    total_score / total_n)
+
+    save_path = os.path.join(
+        args.output_dir,
+        f"{tc['name']}_{os.path.basename(args.config_file)}-"
+        f"{args.save_name or 'base'}")
+    os.makedirs(save_path, exist_ok=True)
+    split = args.split or tc["val_split"]
+    out_file = os.path.join(save_path, split + "_result.json")
+    json.dump(results, open(out_file, "w"))
+    logger.info("wrote %d predictions to %s", len(results), out_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""End-to-end CLI smoke tests on synthetic fixtures.
+
+Equivalent of the reference's examples/*/train.sh golden runs but with tiny
+synthetic data: train_task for 2 epochs must improve and checkpoint;
+eval_task must load the checkpoint and dump predictions.
+"""
+
+import json
+import os
+import sys
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import fixtures
+from volta_tpu import zoo
+
+
+def write_tiny_model_config(tmp_path):
+    cfg = zoo.single_stream(
+        "uniter", depth=2, hidden_size=48, num_attention_heads=4,
+        intermediate_size=64, pooler_size=48, v_pooler_size=48,
+        vocab_size=23, max_position_embeddings=64, v_feature_size=32,
+        v_hidden_size=48, v_num_attention_heads=4, v_intermediate_size=64,
+        clf_hidden_size=32)
+    path = os.path.join(tmp_path, "model.json")
+    with open(path, "w") as f:
+        f.write(cfg.to_json_string())
+    return path
+
+
+def write_task_yml(tmp_path, feat_path):
+    yml = f"""
+TASK1:
+  name: VQA
+  type: VL-classifier
+  num_labels: 9
+  loss: BCEWithLogitLoss
+  process: normal
+  task_id: 1
+  dataroot: {tmp_path}
+  features_h5path1: {feat_path}
+  features_h5path2: ''
+  train_annotations_jsonpath: ''
+  val_annotations_jsonpath: ''
+  max_seq_length: 12
+  max_region_num: 6
+  batch_size: 4
+  eval_batch_size: 4
+  train_split: train
+  val_split: train
+  lr: 0.001
+  num_epoch: 2
+"""
+    path = os.path.join(tmp_path, "tasks.yml")
+    with open(path, "w") as f:
+        f.write(yml)
+    return path
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("e2e"))
+    ids = [10, 11, 12]
+    feat_path = fixtures.make_features_lmdb(tmp, ids, feature_size=32)
+    fixtures.make_vqa_annotations(tmp, ids, n_questions=16, num_labels=9)
+    vocab = fixtures.make_vocab(tmp)
+    model_cfg = write_tiny_model_config(tmp)
+    task_yml = write_task_yml(tmp, feat_path)
+    return dict(tmp=tmp, vocab=vocab, model_cfg=model_cfg,
+                task_yml=task_yml)
+
+
+def test_train_then_eval_cli(workdir):
+    import train_task
+
+    tmp = workdir["tmp"]
+    out_dir = os.path.join(tmp, "save")
+    argv = ["train_task.py",
+            "--config_file", workdir["model_cfg"],
+            "--tasks_config_file", workdir["task_yml"],
+            "--task", "1",
+            "--vocab_file", workdir["vocab"],
+            "--output_dir", out_dir,
+            "--logdir", os.path.join(tmp, "logs"),
+            "--num_train_epochs", "2",
+            "--num_workers", "0",
+            "--compute_dtype", "float32",
+            "--no_pallas",
+            "--clip_grad_norm", "1.0"]
+    with mock.patch.object(sys, "argv", argv):
+        train_task.main()
+
+    run_dirs = os.listdir(out_dir)
+    assert len(run_dirs) == 1
+    run_dir = os.path.join(out_dir, run_dirs[0])
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    assert os.path.isdir(os.path.join(run_dir, "best"))
+    assert os.path.exists(os.path.join(run_dir, "command.txt"))
+
+    import eval_task
+
+    res_dir = os.path.join(tmp, "results")
+    argv = ["eval_task.py",
+            "--config_file", workdir["model_cfg"],
+            "--tasks_config_file", workdir["task_yml"],
+            "--task", "1",
+            "--vocab_file", workdir["vocab"],
+            "--from_pretrained", os.path.join(run_dir, "best"),
+            "--output_dir", res_dir,
+            "--num_workers", "0",
+            "--compute_dtype", "float32",
+            "--no_pallas"]
+    with mock.patch.object(sys, "argv", argv):
+        eval_task.main()
+
+    res_run = os.listdir(res_dir)[0]
+    preds = json.load(open(os.path.join(res_dir, res_run,
+                                        "train_result.json")))
+    assert len(preds) == 16
+    assert set(preds[0]) == {"question_id", "answer"}
+    assert preds[0]["answer"].startswith("answer")
+
+
+def test_resume_from_checkpoint(workdir):
+    """Crash-recovery: a second run resumes from the saved step."""
+    import train_task
+
+    tmp = workdir["tmp"]
+    out_dir = os.path.join(tmp, "save")
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    argv = ["train_task.py",
+            "--config_file", workdir["model_cfg"],
+            "--tasks_config_file", workdir["task_yml"],
+            "--task", "1",
+            "--vocab_file", workdir["vocab"],
+            "--output_dir", out_dir,
+            "--logdir", os.path.join(tmp, "logs"),
+            "--num_train_epochs", "3",
+            "--num_workers", "0",
+            "--compute_dtype", "float32",
+            "--no_pallas",
+            "--clip_grad_norm", "1.0"]
+    with mock.patch.object(sys, "argv", argv):
+        train_task.main()
+    # a later-step checkpoint now exists
+    from volta_tpu.checkpoint import latest_step
+    assert latest_step(os.path.join(run_dir, "ckpt")) >= 12

@@ -317,12 +317,52 @@ def import_state_dict(cfg: VoltaConfig, params: Any,
 
 def from_pretrained(cfg: VoltaConfig, params: Any, path: str, *,
                     from_hf: bool = False) -> Tuple[Any, Dict[str, Any]]:
-    """Load a torch checkpoint file onto ``params``."""
+    """Load pretrained weights onto ``params`` (a ``{"params": ...}``
+    variables dict or bare param tree).
+
+    Accepts torch ``.bin`` state dicts (VOLTA or HF naming, auto-detected)
+    or an Orbax checkpoint directory written by this framework.
+    """
+    if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "data.mdb")):
+        restored = _restore_raw(path)
+        new = _overlay_params(params, restored)
+        return new, {"loaded": ["<orbax>"], "skipped": [], "unused": []}
     sd = load_torch_state_dict(path)
     if not from_hf:
         # auto-detect HF BERT checkpoints by their layer naming
         from_hf = any(".attention.self.query." in k for k in sd)
     return import_state_dict(cfg, params, sd, from_hf=from_hf)
+
+
+def _restore_raw(ckpt_dir: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        return mgr.restore(step)
+
+
+def _overlay_params(params: Any, restored: Any):
+    """Pull the parameter subtree out of a restored train state and overlay
+    it onto ``params`` (handling the {'params': ...} wrapper)."""
+    src = restored
+    if isinstance(src, dict) and "params" in src:
+        src = src["params"]
+    if isinstance(params, dict) and "params" in params and \
+            set(params) == {"params"}:
+        return {"params": _merge(params["params"], src)}
+    return _merge(params, src)
+
+
+def _merge(dst, src):
+    if isinstance(dst, dict):
+        return {k: _merge(v, src[k]) if k in src else v
+                for k, v in dst.items()}
+    return np.asarray(src, dtype=np.asarray(dst).dtype) \
+        if src is not None else dst
 
 
 # ----------------------------------------------------------- orbax bundles

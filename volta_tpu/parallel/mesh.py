@@ -22,6 +22,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def data_parallel_size(batch_size: int,
+                       devices: Optional[Sequence] = None) -> int:
+    """Largest device count that divides the per-host batch."""
+    n = len(devices if devices is not None else jax.devices())
+    d = min(n, max(batch_size, 1))
+    while batch_size % d:
+        d -= 1
+    return d
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

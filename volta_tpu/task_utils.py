@@ -33,6 +33,115 @@ def task_key(task_id: str) -> str:
     return task_id if task_id.startswith("TASK") else "TASK" + task_id
 
 
+def make_tokenizer(bert_model: str, do_lower_case: bool = True,
+                   vocab_file: str = None):
+    from .data.tokenization import BertTokenizer
+
+    if vocab_file:
+        return BertTokenizer(vocab_file, do_lower_case)
+    return BertTokenizer.from_pretrained(bert_model, do_lower_case)
+
+
+def _build_dataset(registry, cfg, tc, tokenizer, split_key, ann_key,
+                   readers, bert_model, eval_mode=False):
+    from .data.features_reader import ImageFeaturesReader
+
+    name = tc["name"]
+    return registry[name](
+        task=name,
+        dataroot=tc["dataroot"],
+        annotations_jsonpath=tc.get(ann_key, ""),
+        split=tc[split_key],
+        image_features_reader=readers[0],
+        gt_image_features_reader=readers[1],
+        tokenizer=tokenizer,
+        bert_model=bert_model,
+        padding_index=0,
+        max_seq_length=tc["max_seq_length"],
+        max_region_num=tc["max_region_num"],
+        num_locs=cfg.num_locs,
+        add_global_imgfeat=cfg.add_global_imgfeat,
+        append_mask_sep=(cfg.fusion_method == "vl-bert_vqa"),
+    )
+
+
+def _make_readers(cfg, tc, in_memory=False):
+    from .data.features_reader import ImageFeaturesReader
+
+    out = []
+    for key in ("features_h5path1", "features_h5path2"):
+        path = tc.get(key, "")
+        out.append(ImageFeaturesReader(
+            path, num_locs=cfg.num_locs,
+            add_global_imgfeat=cfg.add_global_imgfeat,
+            feature_size=cfg.v_feature_size, in_memory=in_memory)
+            if path else None)
+    return out
+
+
+def load_dataset(args, cfg, task_cfg: Dict[str, Any], task_id: str,
+                 split: str = "trainval"):
+    """Build train/val datasets + loaders for one task
+    (reference: volta/task_utils.py:290-371)."""
+    import jax
+
+    from .data.datasets import DatasetMapTrain
+    from .data.loader import DataLoader
+
+    tokenizer = make_tokenizer(args.bert_model, args.do_lower_case,
+                               getattr(args, "vocab_file", None))
+    task = task_key(task_id)
+    tc = task_cfg[task]
+    readers = _make_readers(cfg, tc, getattr(args, "in_memory", False))
+    n_hosts = jax.process_count()
+    batch_size = tc["batch_size"] // args.grad_acc_steps // n_hosts
+
+    out = {"task": task, "batch_size": batch_size}
+    if "train" in split:
+        ds = _build_dataset(DatasetMapTrain, cfg, tc, tokenizer,
+                            "train_split", "train_annotations_jsonpath",
+                            readers, args.bert_model)
+        out["train_dataset"] = ds
+        out["train_loader"] = DataLoader(
+            ds, batch_size, shuffle=True, seed=args.seed,
+            drop_last=True, num_workers=args.num_workers,
+            num_shards=n_hosts, shard_index=jax.process_index())
+    if "val" in split:
+        ds = _build_dataset(DatasetMapTrain, cfg, tc, tokenizer,
+                            "val_split", "val_annotations_jsonpath",
+                            readers, args.bert_model)
+        out["val_dataset"] = ds
+        out["val_loader"] = DataLoader(
+            ds, batch_size, shuffle=False, drop_last=True,
+            num_workers=2, num_shards=n_hosts,
+            shard_index=jax.process_index())
+    return out
+
+
+def load_dataset_eval(args, cfg, task_cfg: Dict[str, Any], task_id: str):
+    """Eval-split dataset + loader (reference: volta/task_utils.py:374-426)."""
+    import jax
+
+    from .data.datasets import DatasetMapEval
+    from .data.loader import DataLoader
+
+    tokenizer = make_tokenizer(args.bert_model, args.do_lower_case,
+                               getattr(args, "vocab_file", None))
+    task = task_key(task_id)
+    tc = dict(task_cfg[task])
+    if getattr(args, "split", ""):
+        tc["val_split"] = args.split
+    readers = _make_readers(cfg, tc, getattr(args, "in_memory", False))
+    batch_size = tc.get("eval_batch_size", getattr(args, "batch_size", 32))
+    ds = _build_dataset(DatasetMapEval, cfg, tc, tokenizer, "val_split",
+                        "val_annotations_jsonpath", readers,
+                        args.bert_model, eval_mode=True)
+    loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.num_workers)
+    return {"task": task, "batch_size": batch_size, "dataset": ds,
+            "loader": loader}
+
+
 # --------------------------------------------------------------- processes
 def _flat2(x):
     return x.reshape((-1,) + x.shape[2:])
