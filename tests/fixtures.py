@@ -89,6 +89,50 @@ def make_nlvr2_annotations(tmpdir, n=8):
         [f"split-{i}-img1" for i in range(n)]
 
 
+def make_concap_lmdb(tmpdir, n=16, num_boxes=5, feature_size=32, seed=3,
+                     split="train"):
+    """tensorpack-LMDBSerializer-style shard with the 13-field CC records."""
+    from volta_tpu.data import serialization
+
+    rng = np.random.RandomState(seed)
+    items = []
+    keys = []
+    captions = {}
+    for i in range(n):
+        key = serialization.tensorpack_key(i)
+        keys.append(key)
+        feats = rng.randn(num_boxes, feature_size).astype(np.float32)
+        cls_prob = np.abs(rng.rand(num_boxes, 1601)).astype(np.float32)
+        cls_prob /= cls_prob.sum(-1, keepdims=True)
+        attr_scores = np.abs(rng.rand(num_boxes, 401)).astype(np.float32)
+        x1 = rng.rand(num_boxes, 1) * 300
+        y1 = rng.rand(num_boxes, 1) * 200
+        boxes = np.concatenate(
+            [x1, y1, x1 + 50, y1 + 40], 1).astype(np.float32)
+        caption = "a red ball on the %s" % WORDS[i % 6]
+        rec = [feats, cls_prob,
+               rng.randint(0, 1600, (num_boxes,)).astype(np.int64),
+               rng.rand(num_boxes).astype(np.float32),
+               rng.randint(0, 400, (num_boxes,)).astype(np.int64),
+               rng.rand(num_boxes).astype(np.float32),
+               attr_scores, boxes, num_boxes, 480, 640, i, caption]
+        items.append((key, serialization.dumps(rec)))
+        captions[str(i)] = caption
+    items.append((b"__keys__", serialization.dumps(keys)))
+    name = "training_feat_all.lmdb" if split == "train" else \
+        "validation_feat_all.lmdb"
+    feats_dir = os.path.join(tmpdir, "imgfeats")
+    os.makedirs(feats_dir, exist_ok=True)
+    lmdbx.write(os.path.join(feats_dir, name), items)
+    ann_dir = os.path.join(tmpdir, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+    cap_name = "caption_train.json" if split == "train" else \
+        "caption_valid.json"
+    with open(os.path.join(ann_dir, cap_name), "w") as f:
+        json.dump(captions, f)
+    return feats_dir, ann_dir
+
+
 def make_retrieval_annotations(tmpdir, image_ids, sentences_per=2):
     path = os.path.join(tmpdir, "train_ann.jsonl")
     with open(path, "w") as f:

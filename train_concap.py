@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Pretrain on Conceptual Captions (MLM + masked-region + ITM).
+
+reference: train_concap.py. One jitted pretraining step over the device
+mesh; per-host LMDB shards or strided sharding of a single environment;
+Orbax checkpoints with auto-resume.
+"""
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    # Model
+    p.add_argument("--from_pretrained", default="", type=str)
+    p.add_argument("--bert_model", default="bert-base-uncased", type=str)
+    p.add_argument("--config_file", default="configs/ctrl_uniter_base.json",
+                   type=str)
+    p.add_argument("--resume_file", default="", type=str)
+    # Data
+    p.add_argument("--annotations_path", default="datasets/conceptual_caption/annotations",
+                   type=str)
+    p.add_argument("--features_path", default="datasets/conceptual_caption/imgfeats/volta",
+                   type=str)
+    # Output
+    p.add_argument("--output_dir", default="save", type=str)
+    p.add_argument("--logdir", default="logs", type=str)
+    p.add_argument("--save_name", default="", type=str)
+    # Text
+    p.add_argument("--do_lower_case", action="store_true", default=True)
+    p.add_argument("--vocab_file", default="", type=str)
+    p.add_argument("--max_seq_length", default=36, type=int)
+    # Training
+    p.add_argument("--train_batch_size", default=512, type=int)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--num_train_epochs", default=10, type=int)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--gradient_accumulation_steps", dest="grad_acc_steps",
+                   type=int, default=1)
+    p.add_argument("--max_region_num", default=36, type=int)
+    # Objective: 0 = all losses; 1 = mask MLM/MRM on mismatched pairs;
+    # 2 = no ITM (reference: train_concap.py:279-295)
+    p.add_argument("--objective", default=0, type=int)
+    # Scheduler
+    p.add_argument("--warmup_proportion", default=0.1, type=float)
+    # Seed / workers
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8)
+    # Optimization
+    p.add_argument("--adam_epsilon", default=1e-6, type=float)
+    p.add_argument("--weight_decay", default=0.01, type=float)
+    p.add_argument("--clip_grad_norm", default=0.0, type=float)
+    # TPU-native extras
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--steps_per_epoch", default=0, type=int,
+                   help="cap steps per epoch (debug)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from volta_tpu.checkpoint import (from_pretrained, latest_step,
+                                      restore_train_state, save_train_state)
+    from volta_tpu.config import VoltaConfig
+    from volta_tpu.data.datasets.concap import make_concap_loader
+    from volta_tpu.models import VoltaForVLPreTraining
+    from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
+    from volta_tpu.parallel import (create_train_state, make_mesh,
+                                    make_pretrain_step, replicated,
+                                    shard_batch)
+    from volta_tpu.parallel.mesh import data_parallel_size
+    from volta_tpu.task_utils import make_tokenizer
+    from volta_tpu.train_utils import (MetricsLogger, save_command, set_seed,
+                                       summary_parameters)
+
+    set_seed(args.seed)
+    cfg = VoltaConfig.from_json_file(args.config_file)
+    cfg.compute_dtype = args.compute_dtype
+    cfg.objective = args.objective
+    if args.no_pallas:
+        cfg.use_pallas = False
+
+    run_name = f"{os.path.basename(args.config_file)}-" \
+        f"{args.save_name or 'pretrained'}"
+    output_dir = os.path.join(args.output_dir, run_name)
+    tb = MetricsLogger(os.path.join(args.logdir, run_name))
+    save_command(output_dir, args, cfg)
+
+    tokenizer = make_tokenizer(args.bert_model, args.do_lower_case,
+                               args.vocab_file)
+    n_hosts = jax.process_count()
+    per_host_batch = args.train_batch_size // args.grad_acc_steps // n_hosts
+    train_ds, train_loader = make_concap_loader(
+        args.features_path, args.annotations_path, tokenizer,
+        split="train", seq_len=args.max_seq_length,
+        region_len=args.max_region_num, batch_size=per_host_batch,
+        num_workers=args.num_workers, objective=args.objective,
+        num_locs=cfg.num_locs, add_global_imgfeat=cfg.add_global_imgfeat,
+        seed=args.seed, num_shards=n_hosts, shard_index=jax.process_index())
+    try:
+        _, val_loader = make_concap_loader(
+            args.features_path, args.annotations_path, tokenizer,
+            split="valid", seq_len=args.max_seq_length,
+            region_len=args.max_region_num, batch_size=per_host_batch,
+            num_workers=2, objective=args.objective, num_locs=cfg.num_locs,
+            add_global_imgfeat=cfg.add_global_imgfeat, seed=args.seed)
+    except (FileNotFoundError, ValueError):
+        val_loader = None
+
+    model = VoltaForVLPreTraining(cfg)
+    sample = next(iter(train_loader))
+    params = jax.jit(lambda r: model.init(
+        r, sample["input_ids"], sample["image_feat"], sample["image_loc"],
+        sample["segment_ids"], sample["input_mask"],
+        sample["image_mask"]))(jax.random.PRNGKey(args.seed))["params"]
+    if args.from_pretrained:
+        loaded, report = from_pretrained(cfg, {"params": params},
+                                         args.from_pretrained)
+        params = loaded["params"]
+        logger.info("loaded %d tensors, %d left at init",
+                    len(report["loaded"]), len(report["skipped"]))
+    summary_parameters(params)
+
+    steps_per_epoch = len(train_loader)
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    total = max(1, steps_per_epoch * args.num_train_epochs)
+    sched = warmup_linear_schedule(args.learning_rate,
+                                   int(total * args.warmup_proportion), total)
+    tx = build_optimizer("adamw", sched, params,
+                         weight_decay=args.weight_decay,
+                         clip_norm=args.clip_grad_norm or None,
+                         grad_accum_steps=args.grad_acc_steps)
+
+    mesh = make_mesh(n_data=data_parallel_size(per_host_batch))
+    state = create_train_state(jax.random.PRNGKey(args.seed + 1), params, tx)
+    state = jax.device_put(state, replicated(mesh))
+    del params
+
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+    start_epoch = args.start_epoch
+    if args.resume_file or latest_step(ckpt_dir) is not None:
+        state, step = restore_train_state(args.resume_file or ckpt_dir, state)
+        start_epoch = int(step) // max(steps_per_epoch, 1)
+        logger.info("resumed from step %d (epoch %d)", step, start_epoch)
+
+    from volta_tpu.parallel.train_step import make_pretrain_eval_step
+    step_fn = make_pretrain_step(model, tx, cfg, objective=args.objective,
+                                 mesh=mesh)
+    eval_fn = make_pretrain_eval_step(model, cfg, mesh=mesh)
+
+    global_step = int(state.step)
+    for epoch in range(start_epoch, args.num_train_epochs):
+        train_ds.set_epoch(epoch)
+        train_loader.set_epoch(epoch)
+        for i, batch in enumerate(train_loader):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            state, m = step_fn(state, shard_batch(mesh, batch))
+            global_step += 1
+            tb.step_train_cc(epoch, global_step, float(m["masked_t"]),
+                             float(m["masked_v"]), float(m["itm"]),
+                             float(sched(global_step)))
+            if global_step % 20 == 0:
+                tb.show_train_cc(epoch, global_step)
+
+        if val_loader is not None:
+            vals = []
+            for batch in val_loader:
+                m = eval_fn(state.params, shard_batch(mesh, batch))
+                vals.append(float(m["loss"]))
+            logger.info("epoch %d val loss %.4f", epoch,
+                        float(np.mean(vals)) if vals else float("nan"))
+        if jax.process_index() == 0:
+            save_train_state(ckpt_dir, global_step, state)
+    tb.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,33 @@ def make_pretrain_step(model, tx, cfg, objective: int = 0, mesh=None,
     return _jit_step(step_fn, mesh, donate)
 
 
+def make_pretrain_eval_step(model, cfg, mesh=None) -> Callable:
+    """Deterministic pretraining loss evaluation (no update, no dropout)."""
+
+    def eval_fn(params, batch):
+        out = model.apply(
+            {"params": params}, batch["input_ids"], batch["image_feat"],
+            batch["image_loc"], batch["segment_ids"], batch["input_mask"],
+            batch["image_mask"], deterministic=True)
+        mlm, mrm, itm = pretraining_losses(
+            cfg, out, masked_lm_labels=batch["lm_label_ids"],
+            image_label=batch["image_label"],
+            image_cls=batch.get("image_cls"),
+            image_feat=_strip_global(cfg, batch["image_feat"]),
+            obj_labels=batch.get("obj_labels"),
+            obj_confs=batch.get("obj_confs"),
+            attr_labels=batch.get("attr_labels"),
+            attr_confs=batch.get("attr_confs"),
+            next_sentence_label=batch["is_match"],
+            rng=jax.random.PRNGKey(0))
+        return {"loss": mlm + mrm + itm, "masked_t": mlm, "masked_v": mrm,
+                "itm": itm}
+
+    if mesh is not None:
+        return jax.jit(eval_fn, in_shardings=(None, batch_sharding(mesh)))
+    return jax.jit(eval_fn)
+
+
 def _strip_global(cfg, image_feat):
     """Regression targets exclude the synthetic global feature row
     (reference: volta/encoders.py:1082-1085)."""
