@@ -1,0 +1,157 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+import fixtures
+from volta_tpu.data import ImageFeaturesReader
+from volta_tpu.data.tokenization import BertTokenizer
+from volta_tpu.data.datasets import (FlickrGroundingDataset,
+                                     GuessWhatDataset,
+                                     GuessWhatPointingDataset, VCRDataset,
+                                     Visual7wPointingDataset,
+                                     VisualEntailmentDataset,
+                                     ReferExpressionDataset)
+
+FS = 32
+
+
+@pytest.fixture
+def tok(tmp_path):
+    return BertTokenizer(fixtures.make_vocab(str(tmp_path)))
+
+
+def reader(tmp_path, ids, name="f.lmdb", num_boxes=6):
+    path = fixtures.make_features_lmdb(str(tmp_path), ids, num_boxes=num_boxes,
+                                       feature_size=FS, name=name)
+    return ImageFeaturesReader(path, num_locs=5, add_global_imgfeat="first",
+                               feature_size=FS)
+
+
+def test_guesswhat(tmp_path, tok):
+    path = tmp_path / "guesswhat.train.jsonl"
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({
+                "id": i, "image": {"id": 100 + i}, "object_id": 7,
+                "qas": [{"id": i * 10, "question": "is it red ?",
+                         "answer": "Yes"},
+                        {"id": i * 10 + 1, "question": "is it a dog ?",
+                         "answer": "No"}],
+                "objects": [],
+            }) + "\n")
+    rd = reader(tmp_path, [100, 101, 102])
+    ds = GuessWhatDataset("GuessWhat", str(tmp_path), str(path), "train",
+                          rd, None, tok, max_seq_length=10, max_region_num=6)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["target"].tolist() == [1.0, 0.0, 0.0]
+
+
+def test_visual_entailment(tmp_path, tok):
+    path = tmp_path / "snli.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "Flickr30K_ID": "55", "sentence2": "a dog plays",
+            "annotator_labels": ["entailment", "entailment", "neutral"],
+            "gold_label": "entailment"}) + "\n")
+    rd = reader(tmp_path, [55])
+    ds = VisualEntailmentDataset("VisualEntailment", str(tmp_path),
+                                 str(path), "train", rd, None, tok,
+                                 max_seq_length=10, max_region_num=6)
+    s = ds[0]
+    np.testing.assert_allclose(s["target"], [0, 1 / 3, 2 / 3])
+
+
+def test_vcr(tmp_path, tok):
+    ann = tmp_path / "vcr.jsonl"
+    meta_dir = tmp_path / "vcr1images"
+    meta_dir.mkdir()
+    json.dump({"names": ["person", "dog"]},
+              open(meta_dir / "m0.json", "w"))
+    with open(ann, "w") as f:
+        f.write(json.dumps({
+            "question": ["what", "is", [0], "doing", "?"],
+            "answer_choices": [["play", "##s"], ["run"], ["the", "ball"],
+                               [[1], "run", "##s"]],
+            "answer_label": 1,
+            "rationale_choices": [["a"], ["b"], ["c"], ["d"]],
+            "rationale_label": 2,
+            "img_id": "train-37", "img_fn": "img.jpg",
+            "metadata_fn": "m0.json", "annot_id": "train-12",
+        }) + "\n")
+    rd = reader(tmp_path, ["m0.jpg"], name="det.lmdb")
+    gt = reader(tmp_path, ["m0.jpg"], name="gt.lmdb", num_boxes=4)
+    ds = VCRDataset("VCR_Q-A", str(tmp_path), str(ann), "train", rd, gt,
+                    tok, max_seq_length=16, max_region_num=10)
+    s = ds[0]
+    assert s["question"].shape == (4, 16)
+    assert int(s["target"]) == 1
+    assert s["features"].shape == (10, FS)
+    dsr = VCRDataset("VCR_QA-R", str(tmp_path), str(ann), "train", rd, gt,
+                     tok, max_seq_length=16, max_region_num=10)
+    assert int(dsr[0]["target"]) == 2
+
+
+def test_visual7w(tmp_path, tok):
+    data = {
+        "boxes": [{"box_id": i, "x": 10 * i, "y": 5, "width": 20,
+                   "height": 30} for i in range(5)],
+        "images": [{
+            "split": "train", "image_id": 900,
+            "qa_pairs": [{"qa_id": 1, "question": "which dog ?",
+                          "multiple_choices": [0, 1, 2], "answer": 3}],
+        }],
+    }
+    json.dump(data, open(tmp_path / "dataset.json", "w"))
+    rd = reader(tmp_path, ["900"], name="det.lmdb")
+    gt = reader(tmp_path, ["900"], name="gt.lmdb", num_boxes=5)
+    ds = Visual7wPointingDataset(
+        "Visual7w", str(tmp_path), "", "train", rd, gt, tok,
+        max_seq_length=10, max_region_num=110)
+    s = ds[0]
+    assert s["multi_choice_ids"].shape == (4,)
+    assert s["target"].shape == (4, 1)
+
+
+def test_flickr_grounding(tmp_path, tok):
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "Sentences").mkdir()
+    with open(tmp_path / "train.txt", "w") as f:
+        f.write("777\n")
+    xml = """<annotation><size><width>640</width><height>480</height></size>
+    <object><name>42</name><bndbox><xmin>10</xmin><ymin>10</ymin>
+    <xmax>100</xmax><ymax>90</ymax></bndbox></object></annotation>"""
+    open(tmp_path / "Annotations" / "777.xml", "w").write(xml)
+    open(tmp_path / "Sentences" / "777.txt", "w").write(
+        "[/EN#42/animals a red dog] plays with [/EN#43/other the ball]\n")
+    rd = reader(tmp_path, ["777"], name="det.lmdb")
+    gt = reader(tmp_path, ["777"], name="gt.lmdb", num_boxes=3)
+    ds = FlickrGroundingDataset(
+        "FlickrGrounding", str(tmp_path), "", "train", rd, gt, tok,
+        max_seq_length=10, max_region_num=12)
+    assert len(ds) == 1  # only the phrase with a box
+    s = ds[0]
+    assert s["target"].shape == (12, 1)
+
+
+def test_guesswhat_pointing(tmp_path, tok):
+    path = tmp_path / "guesswhat.train.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "id": 5, "image": {"id": 300}, "object_id": 2,
+            "qas": [{"id": 1, "question": "is it red ?", "answer": "Yes"}],
+            "objects": [
+                {"id": 1, "bbox": [0, 0, 30, 30]},
+                {"id": 2, "bbox": [50, 50, 30, 30]},
+            ],
+        }) + "\n")
+    rd = reader(tmp_path, ["300"], name="det.lmdb")
+    gt = reader(tmp_path, ["300"], name="gt.lmdb", num_boxes=3)
+    ds = GuessWhatPointingDataset(
+        "GuessWhatPointing", str(tmp_path), str(path), "train", rd, gt, tok,
+        max_seq_length=16, max_region_num=110)
+    s = ds[0]
+    assert s["multi_choice_ids"].shape == (2,)
+    assert s["target"].shape == (2, 1)

@@ -1,24 +1,22 @@
 """Dataset registry (reference: volta/datasets/__init__.py:42-78)."""
 
+from .guesswhat import GuessWhatDataset
 from .nlvr2 import NLVR2Dataset
+from .pointing import (FlickrGroundingDataset, GuessWhatPointingDataset,
+                       Visual7wPointingDataset)
 from .qa import (GQAClassificationDataset, GenomeQAClassificationDataset,
                  VQAClassificationDataset)
 from .refer_expression import ReferExpressionDataset
 from .retrieval import RetrievalDataset, RetrievalDatasetVal
+from .vcr import VCRDataset
 from .visual_entailment import VisualEntailmentDataset
-
-
-def _missing(name):
-    def raiser(*a, **kw):
-        raise NotImplementedError(
-            f"dataset {name!r} is not implemented yet in volta_tpu")
-    return raiser
-
 
 DatasetMapTrain = {
     "VQA": VQAClassificationDataset,
     "GenomeQA": GenomeQAClassificationDataset,
     "GQA": GQAClassificationDataset,
+    "VCR_Q-A": VCRDataset,
+    "VCR_QA-R": VCRDataset,
     "NLVR2": NLVR2Dataset,
     "VisualEntailment": VisualEntailmentDataset,
     "RetrievalCOCO": RetrievalDataset,
@@ -26,6 +24,10 @@ DatasetMapTrain = {
     "refcoco": ReferExpressionDataset,
     "refcoco+": ReferExpressionDataset,
     "refcocog": ReferExpressionDataset,
+    "GuessWhat": GuessWhatDataset,
+    "Visual7w": Visual7wPointingDataset,
+    "GuessWhatPointing": GuessWhatPointingDataset,
+    "FlickrGrounding": FlickrGroundingDataset,
 }
 
 DatasetMapEval = dict(DatasetMapTrain)
@@ -35,7 +37,8 @@ DatasetMapEval["RetrievalFlickr30k"] = RetrievalDatasetVal
 __all__ = [
     "DatasetMapTrain", "DatasetMapEval",
     "VQAClassificationDataset", "GQAClassificationDataset",
-    "GenomeQAClassificationDataset", "NLVR2Dataset",
+    "GenomeQAClassificationDataset", "NLVR2Dataset", "VCRDataset",
     "VisualEntailmentDataset", "RetrievalDataset", "RetrievalDatasetVal",
-    "ReferExpressionDataset",
+    "ReferExpressionDataset", "GuessWhatDataset", "Visual7wPointingDataset",
+    "GuessWhatPointingDataset", "FlickrGroundingDataset",
 ]
