@@ -61,6 +61,9 @@ def parse_args():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="capture a jax.profiler trace over N steps")
+    p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--steps_per_epoch", default=0, type=int,
                    help="cap steps per epoch (debug)")
     return p.parse_args()
@@ -85,6 +88,9 @@ def main():
     from volta_tpu.train_utils import (MetricsLogger, save_command, set_seed,
                                        summary_parameters)
 
+    if args.debug_nans:
+        from volta_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     set_seed(args.seed)
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
@@ -168,8 +174,16 @@ def main():
         for i, batch in enumerate(train_loader):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
+            if args.profile_steps and global_step == 20 and \
+                    jax.process_index() == 0:
+                jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, m = step_fn(state, shard_batch(mesh, batch))
             global_step += 1
+            if args.profile_steps and \
+                    global_step == 20 + args.profile_steps and \
+                    jax.process_index() == 0:
+                float(m["loss"])
+                jax.profiler.stop_trace()
             tb.step_train_cc(epoch, global_step, float(m["masked_t"]),
                              float(m["masked_v"]), float(m["itm"]),
                              float(sched(global_step)))

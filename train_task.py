@@ -69,6 +69,9 @@ def parse_args():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--profile_steps", default=0, type=int,
+                   help="capture a jax.profiler trace over N steps")
+    p.add_argument("--debug_nans", action="store_true")
     return p.parse_args()
 
 
@@ -92,6 +95,9 @@ def main():
                                        save_command, set_seed,
                                        summary_parameters)
 
+    if args.debug_nans:
+        from volta_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     set_seed(args.seed)
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
@@ -172,8 +178,16 @@ def main():
     for epoch in range(start_epoch, args.num_train_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
+            if args.profile_steps and global_step == 20 and \
+                    jax.process_index() == 0:
+                jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, metrics = train_step(state, shard_batch(mesh, batch))
             global_step += 1
+            if args.profile_steps and \
+                    global_step == 20 + args.profile_steps and \
+                    jax.process_index() == 0:
+                float(metrics["loss"])
+                jax.profiler.stop_trace()
             tb.step_train(epoch, global_step, float(metrics["loss"]),
                           float(metrics["score"]),
                           float(lr_of(global_step)), task)

@@ -239,16 +239,19 @@ class GatedEncoder(nn.Module):
 
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_all_layers: bool = False, output_probs: bool = False):
+        import jax
+
         all_t, all_v, all_probs = [], [], []
         for layer in self.sublayers:
-            if isinstance(layer, GatedAttentionSublayer):
-                t, v, probs = layer(t, v, t_bias, v_bias,
-                                    deterministic=deterministic,
-                                    output_probs=output_probs)
-                if output_probs:
-                    all_probs.append(probs)
-            else:
-                t, v = layer(t, v, deterministic=deterministic)
+            with jax.named_scope(layer.name):
+                if isinstance(layer, GatedAttentionSublayer):
+                    t, v, probs = layer(t, v, t_bias, v_bias,
+                                        deterministic=deterministic,
+                                        output_probs=output_probs)
+                    if output_probs:
+                        all_probs.append(probs)
+                else:
+                    t, v = layer(t, v, deterministic=deterministic)
             if output_all_layers:
                 all_t.append(t)
                 all_v.append(v)
