@@ -155,3 +155,29 @@ def test_guesswhat_pointing(tmp_path, tok):
     s = ds[0]
     assert s["multi_choice_ids"].shape == (2,)
     assert s["target"].shape == (2, 1)
+
+
+def test_visdial(tmp_path, tok):
+    import json as _json
+    from volta_tpu.data.datasets import VisDialDataset
+
+    data = {"data": {
+        "questions": ["is it red ?", "is it a dog ?", "what color ?"],
+        "answers": ["yes", "no", "red", "blue"],
+        "dialogs": [{
+            "image_id": 400, "caption": "a red ball",
+            "dialog": [{"question": i % 3, "answer": i % 4,
+                        "gt_index": i % 4,
+                        "answer_options": list(range(4)) * 25}
+                       for i in range(10)],
+        }],
+    }}
+    path = tmp_path / "visdial.json"
+    _json.dump(data, open(path, "w"))
+    rd = reader(tmp_path, ["400"])
+    ds = VisDialDataset("VisualDialog", str(tmp_path), str(path), "train",
+                        rd, None, tok, max_seq_length=32, max_region_num=6)
+    s = ds[0]
+    assert s["question"].shape == (10, 4, 32)
+    assert s["target"].shape == (10,)
+    assert s["question"][0, 0, 0] == tok.cls_id

@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from volta_tpu.optimization import (adamw, build_optimizer, no_decay_mask,
+                                    plain_radam, radam,
+                                    warmup_constant_schedule,
+                                    warmup_linear_schedule)
+
+
+def test_warmup_linear_values():
+    s = warmup_linear_schedule(1.0, 10, 100)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 0.5)
+    np.testing.assert_allclose(float(s(10)), 1.0)
+    np.testing.assert_allclose(float(s(55)), 0.5)
+    np.testing.assert_allclose(float(s(100)), 0.0)
+
+
+def test_warmup_constant_values():
+    s = warmup_constant_schedule(2.0, 4)
+    np.testing.assert_allclose(float(s(2)), 1.0)
+    np.testing.assert_allclose(float(s(50)), 2.0)
+
+
+def test_no_decay_mask_paths():
+    params = {
+        "encoder": {
+            "attn_0": {
+                "query": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)},
+                "out_ln": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
+            }
+        },
+        "embeddings": {"layer_norm": {"scale": jnp.ones(2)}},
+    }
+    m = no_decay_mask(params)
+    assert m["encoder"]["attn_0"]["query"]["kernel"] is True
+    assert m["encoder"]["attn_0"]["query"]["bias"] is False
+    assert m["encoder"]["attn_0"]["out_ln"]["scale"] is False
+    assert m["embeddings"]["layer_norm"]["scale"] is False
+
+
+def test_adamw_no_bias_correction_formula():
+    """First step with correct_bias=False: update = lr * m1/(sqrt(v1)+eps)
+    with m1=(1-b1)g, v1=(1-b2)g^2 — NOT the bias-corrected g/(|g|+eps)."""
+    lr, b1, b2, eps = 0.1, 0.9, 0.999, 1e-6
+    tx = adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=0.0)
+    p = {"w": jnp.array([2.0])}
+    g = {"w": jnp.array([0.5])}
+    st = tx.init(p)
+    upd, _ = tx.update(g, st, p)
+    expect = -lr * ((1 - b1) * 0.5) / (np.sqrt((1 - b2) * 0.25) + eps)
+    np.testing.assert_allclose(float(upd["w"][0]), expect, rtol=1e-5)
+
+
+def test_radam_early_steps_sgd_like():
+    """rho <= 4 during the first steps: RAdam degenerates to SGD-with-
+    momentum scaling; PlainRAdam produces zero update instead."""
+    p = {"w": jnp.array([1.0])}
+    g = {"w": jnp.array([1.0])}
+    tx = radam(0.1, weight_decay=0.0)
+    st = tx.init(p)
+    upd, _ = tx.update(g, st, p)
+    assert float(upd["w"][0]) != 0.0
+    txp = plain_radam(0.1, weight_decay=0.0)
+    stp = txp.init(p)
+    updp, _ = txp.update(g, stp, p)
+    np.testing.assert_allclose(float(updp["w"][0]), 0.0, atol=1e-12)
+
+
+def test_grad_accumulation_equivalence():
+    """k accumulation micro-steps == one step on the averaged gradient."""
+    params = {"w": jnp.ones((3,))}
+    tx_full = build_optimizer("adamw", 0.01, params, weight_decay=0.0)
+    tx_acc = build_optimizer("adamw", 0.01, params, weight_decay=0.0,
+                             grad_accum_steps=2)
+    g1 = {"w": jnp.array([1.0, 2.0, 3.0])}
+    g2 = {"w": jnp.array([3.0, 2.0, 1.0])}
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    p_full = params
+    st = tx_full.init(p_full)
+    upd, st = tx_full.update(g_mean, st, p_full)
+    p_full = optax.apply_updates(p_full, upd)
+
+    p_acc = params
+    st2 = tx_acc.init(p_acc)
+    for g in (g1, g2):
+        upd, st2 = tx_acc.update(g, st2, p_acc)
+        p_acc = optax.apply_updates(p_acc, upd)
+    np.testing.assert_allclose(np.asarray(p_full["w"]),
+                               np.asarray(p_acc["w"]), rtol=1e-6)
+
+
+def test_vlogit_mc_loss_path():
+    from volta_tpu.task_utils import task_loss_and_score
+
+    B, R, C = 2, 110, 4
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(B, R, 1).astype(np.float32))
+    mc = jnp.asarray(rng.randint(0, 8, (B, C)).astype(np.int32))
+    target = np.zeros((B, C, 1), np.float32)
+    target[:, 1, 0] = 1.0
+    batch = {"target": jnp.asarray(target), "multi_choice_ids": mc}
+    loss, score = task_loss_and_score(
+        "V-logit-mc", pred, batch, {"batch_size": B, "num_options": 1})
+    assert np.isfinite(float(loss))
+    assert 0 <= float(score) <= B
+
+
+def test_freeze_mask_blocks_updates():
+    from volta_tpu.train_utils import apply_freeze
+
+    params = {"bert": {"embeddings": {"word_embeddings":
+                                      {"embedding": jnp.ones((4, 2))}},
+                       "encoder": {"attn_0": {"query":
+                                              {"kernel": jnp.ones((2, 2))}}}}}
+    tx = apply_freeze(optax.sgd(1.0), params, ["embeddings"])
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(g, st, params)
+    assert float(jnp.abs(
+        upd["bert"]["embeddings"]["word_embeddings"]["embedding"]).sum()) == 0
+    assert float(jnp.abs(
+        upd["bert"]["encoder"]["attn_0"]["query"]["kernel"]).sum()) > 0

@@ -9,6 +9,7 @@ from .qa import (GQAClassificationDataset, GenomeQAClassificationDataset,
 from .refer_expression import ReferExpressionDataset
 from .retrieval import RetrievalDataset, RetrievalDatasetVal
 from .vcr import VCRDataset
+from .visdial import VisDialDataset
 from .visual_entailment import VisualEntailmentDataset
 
 DatasetMapTrain = {
@@ -28,6 +29,8 @@ DatasetMapTrain = {
     "Visual7w": Visual7wPointingDataset,
     "GuessWhatPointing": GuessWhatPointingDataset,
     "FlickrGrounding": FlickrGroundingDataset,
+    # unregistered in the reference (dead code there); functional here
+    "VisualDialog": VisDialDataset,
 }
 
 DatasetMapEval = dict(DatasetMapTrain)
