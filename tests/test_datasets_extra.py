@@ -181,3 +181,31 @@ def test_visdial(tmp_path, tok):
     assert s["question"].shape == (10, 4, 32)
     assert s["target"].shape == (10,)
     assert s["question"][0, 0, 0] == tok.cls_id
+
+
+def test_dense_caption_and_madlibs(tmp_path, tok):
+    import json as _json
+    from volta_tpu.data.datasets import (ReferDenseCaptionDataset,
+                                         VisMadLibsDataset)
+
+    anns = [{"id": 500, "regions": [
+        {"phrase": "a red ball", "region_id": 1,
+         "x": 10, "y": 10, "width": 40, "height": 40}]}]
+    path = tmp_path / "dense.json"
+    _json.dump(anns, open(path, "w"))
+    rd = reader(tmp_path, ["500"])
+    ds = ReferDenseCaptionDataset(
+        "ReferDenseCaption", str(tmp_path), str(path), "train", rd, None,
+        tok, max_seq_length=10, max_region_num=6)
+    s = ds[0]
+    assert s["target"].shape == (7, 1)
+
+    ml = [{"image_id": 500, "question": "the ball is", "labels": [2],
+           "scores": [1.0], "question_id": 0}]
+    mpath = tmp_path / "madlibs.json"
+    _json.dump(ml, open(mpath, "w"))
+    ds2 = VisMadLibsDataset("VisMadLibs", str(tmp_path), str(mpath), "train",
+                            rd, None, tok, max_seq_length=10,
+                            max_region_num=6, num_labels=5)
+    s2 = ds2[0]
+    assert s2["target"].tolist() == [0, 0, 1, 0, 0]

@@ -8,6 +8,7 @@ from .qa import (GQAClassificationDataset, GenomeQAClassificationDataset,
                  VQAClassificationDataset)
 from .refer_expression import ReferExpressionDataset
 from .retrieval import RetrievalDataset, RetrievalDatasetVal
+from .dense_caption import ReferDenseCaptionDataset, VisMadLibsDataset
 from .vcr import VCRDataset
 from .visdial import VisDialDataset
 from .visual_entailment import VisualEntailmentDataset
@@ -31,6 +32,8 @@ DatasetMapTrain = {
     "FlickrGrounding": FlickrGroundingDataset,
     # unregistered in the reference (dead code there); functional here
     "VisualDialog": VisDialDataset,
+    "ReferDenseCaption": ReferDenseCaptionDataset,
+    "VisMadLibs": VisMadLibsDataset,
 }
 
 DatasetMapEval = dict(DatasetMapTrain)
