@@ -194,8 +194,10 @@ def test_dense_caption_and_madlibs(tmp_path, tok):
     path = tmp_path / "dense.json"
     _json.dump(anns, open(path, "w"))
     rd = reader(tmp_path, ["500"])
+    # "train" slices off the last 10k images (reference semantics), so the
+    # tiny fixture uses the test split which keeps the tail
     ds = ReferDenseCaptionDataset(
-        "ReferDenseCaption", str(tmp_path), str(path), "train", rd, None,
+        "ReferDenseCaption", str(tmp_path), str(path), "test", rd, None,
         tok, max_seq_length=10, max_region_num=6)
     s = ds[0]
     assert s["target"].shape == (7, 1)
