@@ -200,7 +200,7 @@ def test_dense_caption_and_madlibs(tmp_path, tok):
         "ReferDenseCaption", str(tmp_path), str(path), "test", rd, None,
         tok, max_seq_length=10, max_region_num=6)
     s = ds[0]
-    assert s["target"].shape == (7, 1)
+    assert s["target"].shape == (6, 1)
 
     ml = [{"image_id": 500, "question": "the ball is", "labels": [2],
            "scores": [1.0], "question_id": 0}]
