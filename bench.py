@@ -26,6 +26,8 @@ A100_REF_PAIRS_PER_SEC = 250.0
 def main():
     import jax
 
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from volta_tpu.models import VoltaForVLTasks
     from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
     from volta_tpu.parallel import (create_train_state, make_mesh,
@@ -33,6 +35,7 @@ def main():
     from __graft_entry__ import _flagship, _task_cfg, _vqa_batch
 
     cfg = _flagship()            # ctrl_uniter_base, bf16 compute
+    cfg.use_pallas = False       # XLA fused LN measured faster at BERT-base shapes
     task_cfg = _task_cfg()       # VQA: 3129-way soft classifier
     model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
 

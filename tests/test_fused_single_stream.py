@@ -1,0 +1,49 @@
+"""The single-stream fast path (one QKV/attention/FFN over [text ‖ vision])
+must match the generic gated two-stream computation exactly in
+deterministic mode."""
+
+import numpy as np
+
+import jax
+
+from volta_tpu.models import VoltaModel
+from volta_tpu.models.encoder import GatedEncoder
+
+from test_model_shapes import tiny_zoo, batch, init_model, B, L, K
+
+
+def test_fused_matches_two_stream():
+    cfg = tiny_zoo("ctrl_uniter_base")
+    model = VoltaModel(cfg)
+    args = batch(cfg)
+    params = init_model(model, *args)
+
+    seq_t_fast, seq_v_fast, *_ = model.apply(params, *args)
+    # force the generic path by requesting attention probs
+    seq_t_ref, seq_v_ref, *_ = model.apply(params, *args, output_probs=True)
+    np.testing.assert_allclose(np.asarray(seq_t_fast), np.asarray(seq_t_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(seq_v_fast), np.asarray(seq_v_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_dual_stream_not_fused():
+    cfg = tiny_zoo("ctrl_vilbert_base")
+    enc = GatedEncoder(cfg)
+    # bind to inspect the plan
+    plan = cfg.sublayer_plan()
+    assert not all(
+        (s.has_tt and s.has_tv and s.has_vt and s.has_vv and s.share_params
+         and s.single_ln) if s.kind == "attn"
+        else (s.has_t_ff and s.has_v_ff and s.share_params and s.single_ln)
+        for s in plan)
+
+
+def test_fused_training_mode_runs():
+    cfg = tiny_zoo("ctrl_visualbert_base")
+    model = VoltaModel(cfg)
+    args = batch(cfg)
+    params = init_model(model, *args)
+    out, *_ = model.apply(params, *args, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(out)).all()

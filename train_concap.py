@@ -64,6 +64,9 @@ def parse_args():
     p.add_argument("--profile_steps", default=0, type=int,
                    help="capture a jax.profiler trace over N steps")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--prng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="dropout PRNG; rbg is ~15%% faster per step on TPU")
     p.add_argument("--steps_per_epoch", default=0, type=int,
                    help="cap steps per epoch (debug)")
     return p.parse_args()
@@ -88,6 +91,8 @@ def main():
     from volta_tpu.train_utils import (MetricsLogger, save_command, set_seed,
                                        summary_parameters)
 
+    import jax as _jax
+    _jax.config.update("jax_default_prng_impl", args.prng_impl)
     if args.debug_nans:
         from volta_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()

@@ -72,6 +72,9 @@ def parse_args():
     p.add_argument("--profile_steps", default=0, type=int,
                    help="capture a jax.profiler trace over N steps")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--prng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="dropout PRNG; rbg is ~15%% faster per step on TPU")
     return p.parse_args()
 
 
@@ -95,6 +98,8 @@ def main():
                                        save_command, set_seed,
                                        summary_parameters)
 
+    import jax as _jax
+    _jax.config.update("jax_default_prng_impl", args.prng_impl)
     if args.debug_nans:
         from volta_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()

@@ -95,6 +95,30 @@ class GatedAttentionSublayer(nn.Module):
             return out, splits
         return out, None
 
+    @property
+    def fully_fused(self) -> bool:
+        """True when text+vision form one homogeneous stream: all four
+        attention flows, shared parameters, single LayerNorm — i.e. the
+        sublayer is standard self-attention over [text ‖ vision]."""
+        s = self.spec
+        return (s.has_tt and s.has_tv and s.has_vt and s.has_vv and
+                s.share_params and s.single_ln)
+
+    def fused(self, x, bias, *, deterministic: bool = True):
+        """Single-stream path: one QKV, one attention, one output block over
+        the concatenated sequence. Mathematically identical to __call__ for
+        fully-fused sublayers (see test_fused_single_stream)."""
+        spec = self.spec
+        q = _split_heads(self.query(x), spec.num_heads)
+        k = _split_heads(self.key(x), spec.num_heads)
+        v = _split_heads(self.value(x), spec.num_heads)
+        head_dim = spec.attn_hidden_size // spec.num_heads
+        ctx, _ = self._attend(q, [k], [v], [bias], head_dim, self.attn_drop,
+                              deterministic, False, [x.shape[1]])
+        o = self.hidden_drop(self.out_dense(_merge_heads(ctx)),
+                             deterministic=deterministic)
+        return self.out_ln(o + x)
+
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_probs: bool = False):
         spec = self.spec
@@ -173,6 +197,17 @@ class GatedFeedForwardSublayer(nn.Module):
     BertGatedOutput + BertGatedFeedForward).
     """
 
+    @property
+    def fully_fused(self) -> bool:
+        s = self.spec
+        return s.has_t_ff and s.has_v_ff and s.share_params and s.single_ln
+
+    def fused(self, x, *, deterministic: bool = True):
+        act = ACT2FN[self.cfg.hidden_act]
+        o = self.hidden_drop(self.out_dense(act(self.inter_dense(x))),
+                             deterministic=deterministic)
+        return self.out_ln(o + x)
+
     cfg: VoltaConfig
     spec: SublayerSpec
 
@@ -240,6 +275,22 @@ class GatedEncoder(nn.Module):
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_all_layers: bool = False, output_probs: bool = False):
         import jax
+
+        # Single-stream fast path: when every sublayer is fully shared with
+        # a single LN over [text ‖ vision] (UNITER / VisualBERT / VL-BERT
+        # configs), the whole encoder is standard BERT over the concatenated
+        # sequence — one QKV / attention / FFN per sublayer instead of two.
+        if (not output_all_layers and not output_probs and
+                all(l.fully_fused for l in self.sublayers)):
+            x = jnp.concatenate([t, v], axis=1)
+            bias = jnp.concatenate([t_bias, v_bias], axis=-1)
+            for layer in self.sublayers:
+                with jax.named_scope(layer.name):
+                    if isinstance(layer, GatedAttentionSublayer):
+                        x = layer.fused(x, bias, deterministic=deterministic)
+                    else:
+                        x = layer.fused(x, deterministic=deterministic)
+            return x[:, : t.shape[1]], x[:, t.shape[1]:], ([], [], [])
 
         all_t, all_v, all_probs = [], [], []
         for layer in self.sublayers:
