@@ -75,6 +75,9 @@ def parse_args():
     p.add_argument("--prng_impl", default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG; rbg is ~15%% faster per step on TPU")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator from env, one process per host)")
     return p.parse_args()
 
 
@@ -99,6 +102,8 @@ def main():
                                        summary_parameters)
 
     import jax as _jax
+    if args.distributed:
+        _jax.distributed.initialize()
     _jax.config.update("jax_default_prng_impl", args.prng_impl)
     if args.debug_nans:
         from volta_tpu.utils.profiling import enable_nan_debugging
