@@ -177,6 +177,17 @@ def main():
                                  mesh=mesh)
     eval_fn = make_pretrain_eval_step(model, cfg, mesh=mesh)
 
+
+    # Preemption tolerance: checkpoint on SIGTERM and exit cleanly; the next
+    # launch auto-resumes from the latest step (SURVEY §5.3 plan).
+    import signal
+
+    _preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        _preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     global_step = int(state.step)
     for epoch in range(start_epoch, args.num_train_epochs):
         train_ds.set_epoch(epoch)
@@ -189,6 +200,11 @@ def main():
                 jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, m = step_fn(state, shard_batch(mesh, batch))
             global_step += 1
+            if _preempted["flag"]:
+                if jax.process_index() == 0:
+                    save_train_state(ckpt_dir, global_step, state)
+                logger.info("preempted: checkpointed at step %d", global_step)
+                return
             if args.profile_steps and \
                     global_step == 20 + args.profile_steps and \
                     jax.process_index() == 0:

@@ -182,6 +182,17 @@ def main():
     train_step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh)
     eval_step = make_task_eval_step(model, task_cfg, task, mesh=mesh)
 
+
+    # Preemption tolerance: checkpoint on SIGTERM and exit cleanly; the next
+    # launch auto-resumes from the latest step (SURVEY §5.3 plan).
+    import signal
+
+    _preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        _preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     best_score = -1.0
     global_step = int(state.step)
     lr_of = sched
@@ -193,6 +204,11 @@ def main():
                 jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, metrics = train_step(state, shard_batch(mesh, batch))
             global_step += 1
+            if _preempted["flag"]:
+                if jax.process_index() == 0:
+                    save_train_state(ckpt_dir, global_step, state)
+                logger.info("preempted: checkpointed at step %d", global_step)
+                return
             if args.profile_steps and \
                     global_step == 20 + args.profile_steps and \
                     jax.process_index() == 0:
