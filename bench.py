@@ -35,7 +35,6 @@ def main():
     from __graft_entry__ import _flagship, _task_cfg, _vqa_batch
 
     cfg = _flagship()            # ctrl_uniter_base, bf16 compute
-    cfg.use_pallas = False       # XLA fused LN measured faster at BERT-base shapes
     task_cfg = _task_cfg()       # VQA: 3129-way soft classifier
     model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
 

@@ -53,7 +53,7 @@ class TextEmbeddings(nn.Module):
             position_ids = jnp.broadcast_to(position_ids[None, :],
                                             input_ids.shape)
         x = word(input_ids) + pos(position_ids) + typ(token_type_ids)
-        x = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        x = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                       name="layer_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return x.astype(_dtype(cfg)), word.embedding
@@ -73,7 +73,7 @@ class ViLBertImageEmbeddings(nn.Module):
         dt = _dtype(cfg)
         img = dense(cfg.v_hidden_size, std, dt, "feat_dense")(feats)
         loc = dense(cfg.v_hidden_size, std, dt, "loc_dense")(locs)
-        x = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas,
+        x = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm,
                       name="layer_norm")(img + loc)
         x = nn.Dropout(cfg.v_hidden_dropout_prob)(x, deterministic=deterministic)
         return x.astype(dt)
@@ -92,9 +92,9 @@ class LxmertImageEmbeddings(nn.Module):
         dt = _dtype(cfg)
         img = dense(cfg.v_hidden_size, std, dt, "feat_dense")(feats)
         loc = dense(cfg.v_hidden_size, std, dt, "loc_dense")(locs)
-        img = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas,
+        img = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm,
                         name="feat_ln")(img)
-        loc = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas,
+        loc = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm,
                         name="loc_ln")(loc)
         x = (img + loc) / 2
         x = nn.Dropout(cfg.v_hidden_dropout_prob)(x, deterministic=deterministic)
@@ -169,7 +169,7 @@ class VLBertEmbeddings(nn.Module):
         obj_vis = final_feats
         if cfg.v_hidden_size != cfg.hidden_size:
             obj_vis = dense(cfg.hidden_size, std, dt, "visual_1x1_object")(obj_vis)
-        obj_vis = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        obj_vis = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                             name="visual_ln_object")(obj_vis)
         obj_ling_table = embed(1, cfg.hidden_size, std,
                                "object_linguistic_embeddings")
@@ -194,7 +194,7 @@ class VLBertEmbeddings(nn.Module):
                                     (b, seq, cfg.v_hidden_size))
         if cfg.v_hidden_size != cfg.hidden_size:
             text_vis = dense(cfg.hidden_size, std, dt, "visual_1x1_text")(text_vis)
-        text_vis = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        text_vis = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                              name="visual_ln_text")(text_vis)
         text_vl = text_ling + text_vis
 
@@ -220,7 +220,7 @@ class VLBertEmbeddings(nn.Module):
         t = text_vl + text_pos + text_type
         v = object_vl + obj_pos + obj_type
         joint = jnp.concatenate([t, v], axis=1)
-        joint = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        joint = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                           name="layer_norm")(joint)
         joint = nn.Dropout(cfg.hidden_dropout_prob)(
             joint, deterministic=deterministic)
@@ -264,7 +264,7 @@ class VisualBertEmbeddings(nn.Module):
         v = proj + v_pos(pos_ids_v) + v_typ(type_ids_v)
 
         joint = jnp.concatenate([t, v], axis=1)
-        joint = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        joint = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                           name="layer_norm")(joint)
         joint = nn.Dropout(cfg.hidden_dropout_prob)(
             joint, deterministic=deterministic)
@@ -296,18 +296,18 @@ class UniterEmbeddings(nn.Module):
         position_ids = jnp.broadcast_to(
             jnp.arange(seq, dtype=jnp.int32)[None, :], input_ids.shape)
         t = word(input_ids) + pos(position_ids) + typ(token_type_ids)
-        t = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        t = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                       name="layer_norm")(t)
         t = nn.Dropout(cfg.hidden_dropout_prob)(t, deterministic=deterministic)
 
         img = dense(cfg.v_hidden_size, std, dt, "feat_dense")(feats)
-        img = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        img = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                         name="feat_ln")(img)
         loc = dense(cfg.v_hidden_size, std, dt, "loc_dense")(locs)
-        loc = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        loc = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                         name="loc_ln")(loc)
         v = img + loc + typ(jnp.ones((b, k), jnp.int32))
-        v = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        v = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                       name="v_layer_norm")(v)
         v = nn.Dropout(cfg.hidden_dropout_prob)(v, deterministic=deterministic)
         return t.astype(dt), v.astype(dt), word.embedding

@@ -58,7 +58,7 @@ class GatedAttentionSublayer(nn.Module):
             self.key = dense(spec.attn_hidden_size, std, dt, "key")
             self.value = dense(spec.attn_hidden_size, std, dt, "value")
             self.out_dense = dense(cfg.hidden_size, std, dt, "out_dense")
-            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                                     name="out_ln")
         if spec.has_vision and not spec.share_params:
             self.v_query = dense(spec.v_attn_hidden_size, std, dt, "v_query")
@@ -66,7 +66,7 @@ class GatedAttentionSublayer(nn.Module):
             self.v_value = dense(spec.v_attn_hidden_size, std, dt, "v_value")
             self.v_out_dense = dense(cfg.v_hidden_size, std, dt, "v_out_dense")
             self.v_out_ln = LayerNorm(
-                cfg.v_hidden_size, use_pallas=cfg.use_pallas, name="v_out_ln")
+                cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm, name="v_out_ln")
         self.attn_drop = nn.Dropout(cfg.attention_probs_dropout_prob)
         self.v_attn_drop = nn.Dropout(cfg.v_attention_probs_dropout_prob)
         self.hidden_drop = nn.Dropout(cfg.hidden_dropout_prob)
@@ -218,14 +218,14 @@ class GatedFeedForwardSublayer(nn.Module):
         if spec.has_t_ff:
             self.inter_dense = dense(spec.intermediate_size, std, dt, "inter_dense")
             self.out_dense = dense(cfg.hidden_size, std, dt, "out_dense")
-            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                                     name="out_ln")
         if spec.has_v_ff and not spec.share_params:
             self.v_inter_dense = dense(
                 spec.v_intermediate_size, std, dt, "v_inter_dense")
             self.v_out_dense = dense(cfg.v_hidden_size, std, dt, "v_out_dense")
             self.v_out_ln = LayerNorm(
-                cfg.v_hidden_size, use_pallas=cfg.use_pallas, name="v_out_ln")
+                cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm, name="v_out_ln")
         self.hidden_drop = nn.Dropout(cfg.hidden_dropout_prob)
         self.v_hidden_drop = nn.Dropout(cfg.v_hidden_dropout_prob)
 

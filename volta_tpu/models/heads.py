@@ -81,7 +81,7 @@ class LMPredictionHead(nn.Module):
                      kernel_init=nn.initializers.xavier_uniform(),
                      dtype=_dtype(cfg), name="transform_dense")(hidden)
         x = ACT2FN[cfg.hidden_act](x)
-        x = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas,
+        x = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
                       name="transform_ln")(x)
         bias = self.param("decoder_bias", nn.initializers.zeros,
                           (cfg.vocab_size,))
@@ -104,7 +104,7 @@ class ImagePredictionHead(nn.Module):
                      dtype=_dtype(cfg), name="transform_dense")(hidden)
         x = ACT2FN[cfg.hidden_act](x)
         if cfg.image_head_ln:
-            x = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas,
+            x = LayerNorm(cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm,
                           name="transform_ln")(x)
         out = {}
         for ix, dim in PRE_VIS_TARGETS.items():
@@ -167,5 +167,5 @@ class SimpleClassifier(nn.Module):
         dt = _dtype(cfg)
         x = dense(self.hid_dim, std, dt, "dense1")(x)
         x = gelu(x)
-        x = LayerNorm(self.hid_dim, use_pallas=cfg.use_pallas, name="ln")(x)
+        x = LayerNorm(self.hid_dim, use_pallas=cfg.use_pallas_layernorm, name="ln")(x)
         return dense(self.out_dim, std, dt, "dense2")(x)
