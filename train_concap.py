@@ -189,6 +189,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_sigterm)
     global_step = int(state.step)
+    pending = []
     for epoch in range(start_epoch, args.num_train_epochs):
         train_ds.set_epoch(epoch)
         train_loader.set_epoch(epoch)
@@ -200,6 +201,7 @@ def main():
                 jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, m = step_fn(state, shard_batch(mesh, batch))
             global_step += 1
+            pending.append((global_step, m))
             if _preempted["flag"]:
                 if jax.process_index() == 0:
                     save_train_state(ckpt_dir, global_step, state)
@@ -210,10 +212,12 @@ def main():
                     jax.process_index() == 0:
                 float(m["loss"])
                 jax.profiler.stop_trace()
-            tb.step_train_cc(epoch, global_step, float(m["masked_t"]),
-                             float(m["masked_v"]), float(m["itm"]),
-                             float(sched(global_step)))
-            if global_step % 20 == 0:
+            if len(pending) >= 20:
+                for gs, pm in pending:
+                    tb.step_train_cc(epoch, gs, float(pm["masked_t"]),
+                                     float(pm["masked_v"]),
+                                     float(pm["itm"]), float(sched(gs)))
+                pending.clear()
                 tb.show_train_cc(epoch, global_step)
 
         if val_loader is not None:

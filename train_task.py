@@ -196,6 +196,7 @@ def main():
     best_score = -1.0
     global_step = int(state.step)
     lr_of = sched
+    pending = []
     for epoch in range(start_epoch, args.num_train_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
@@ -204,6 +205,7 @@ def main():
                 jax.profiler.start_trace(os.path.join(args.logdir, run_name))
             state, metrics = train_step(state, shard_batch(mesh, batch))
             global_step += 1
+            pending.append((global_step, metrics))
             if _preempted["flag"]:
                 if jax.process_index() == 0:
                     save_train_state(ckpt_dir, global_step, state)
@@ -214,9 +216,13 @@ def main():
                     jax.process_index() == 0:
                 float(metrics["loss"])
                 jax.profiler.stop_trace()
-            tb.step_train(epoch, global_step, float(metrics["loss"]),
-                          float(metrics["score"]),
-                          float(lr_of(global_step)), task)
+            # fetch metrics in windows — a per-step device_get would
+            # serialise host and device
+            if len(pending) >= tb.period:
+                for gs, m in pending:
+                    tb.step_train(epoch, gs, float(m["loss"]),
+                                  float(m["score"]), float(lr_of(gs)), task)
+                pending.clear()
 
         # validation + checkpointing per epoch
         if val_loader is not None and (epoch + 1) % args.eval_period == 0:
