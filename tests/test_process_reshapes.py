@@ -1,0 +1,128 @@
+"""Batch `process` reshapes vs independent numpy constructions
+(reference: volta/task_utils.py:149-232)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from volta_tpu.task_utils import process_batch
+
+
+def _mk(b, opts, k, l, fs=8, nl=5, question_rank3=True):
+    rng = np.random.RandomState(0)
+    return {
+        "features": rng.randn(b, k, fs).astype(np.float32),
+        "spatials": rng.rand(b, k, nl).astype(np.float32),
+        "image_mask": np.ones((b, k), np.int32),
+        "question": rng.randint(1, 9, (b, opts, l)).astype(np.int32)
+        if question_rank3 else rng.randint(1, 9, (b, l)).astype(np.int32),
+        "input_mask": np.ones((b, opts, l), np.int32)
+        if question_rank3 else np.ones((b, l), np.int32),
+        "segment_ids": np.zeros((b, opts, l), np.int32)
+        if question_rank3 else np.zeros((b, l), np.int32),
+        "target": np.zeros((b,), np.int32),
+        "question_id": np.arange(b),
+    }
+
+
+def test_expand_tiles_image_over_options():
+    b, opts, k, l = 2, 4, 5, 7
+    batch = _mk(b, opts, k, l)
+    inputs, info = process_batch({"process": "expand"}, batch)
+    assert info["num_options"] == opts
+    feats = np.asarray(inputs["image_feat"])
+    assert feats.shape == (b * opts, k, 8)
+    # every option row of an item carries the same image
+    np.testing.assert_array_equal(feats[0], feats[3])
+    np.testing.assert_array_equal(feats[4], batch["features"][1])
+    q = np.asarray(inputs["input_ids"])
+    np.testing.assert_array_equal(q[1], batch["question"][0, 1])
+
+
+def test_retrieval_flattens_options():
+    b, opts, k, l = 2, 4, 5, 7
+    batch = _mk(b, opts, k, l)
+    batch["features"] = np.random.RandomState(1).randn(
+        b, opts, k, 8).astype(np.float32)
+    batch["spatials"] = np.random.RandomState(2).rand(
+        b, opts, k, 5).astype(np.float32)
+    batch["image_mask"] = np.ones((b, opts, k), np.int32)
+    inputs, info = process_batch({"process": "retrieval"}, batch)
+    assert info["num_options"] == opts
+    feats = np.asarray(inputs["image_feat"])
+    assert feats.shape == (b * opts, k, 8)
+    np.testing.assert_array_equal(feats[5], batch["features"][1, 1])
+
+
+def test_nlvr_splits_pairs_and_duplicates_text():
+    b, k2, l = 2, 10, 7
+    batch = _mk(b, 1, k2, l, question_rank3=False)
+    inputs, _ = process_batch({"process": "nlvr"}, batch)
+    feats = np.asarray(inputs["image_feat"])
+    assert feats.shape == (b * 2, k2 // 2, 8)
+    np.testing.assert_array_equal(feats[0], batch["features"][0, :5])
+    np.testing.assert_array_equal(feats[1], batch["features"][0, 5:])
+    q = np.asarray(inputs["input_ids"])
+    np.testing.assert_array_equal(q[0], q[1])
+    np.testing.assert_array_equal(q[2], batch["question"][1])
+
+
+def test_dialog_expands_rounds_and_options():
+    b, rounds, opts, k, l = 2, 3, 4, 5, 7
+    rng = np.random.RandomState(3)
+    batch = {
+        "features": rng.randn(b, k, 8).astype(np.float32),
+        "spatials": rng.rand(b, k, 5).astype(np.float32),
+        "image_mask": np.ones((b, k), np.int32),
+        "question": rng.randint(1, 9, (b, rounds, opts, l)).astype(np.int32),
+        "input_mask": np.ones((b, rounds, opts, l), np.int32),
+        "segment_ids": np.zeros((b, rounds, opts, l), np.int32),
+        "target": np.zeros((b, rounds), np.int32),
+        "question_id": np.arange(b),
+    }
+    inputs, info = process_batch({"process": "dialog"}, batch)
+    assert info["num_options"] == opts
+    assert info["batch_size"] == b * rounds
+    q = np.asarray(inputs["input_ids"])
+    assert q.shape == (b * rounds * opts, l)
+    feats = np.asarray(inputs["image_feat"])
+    assert feats.shape == (b * rounds * opts, k, 8)
+    np.testing.assert_array_equal(feats[0], feats[rounds * opts - 1])
+
+
+def test_vlbert_vqa_fusion_pools_mask_position():
+    """fusion_method=vl-bert_vqa pools at text_end - 2 (the inserted [MASK])
+    (reference: volta/encoders.py:610-623, vqa_dataset.py:265-270)."""
+    import jax
+    from volta_tpu.models import VoltaModel
+    from test_model_shapes import tiny_zoo
+
+    cfg = tiny_zoo("ctrl_vl-bert_base")
+    cfg.fusion_method = "vl-bert_vqa"
+    model = VoltaModel(cfg)
+    rng = np.random.RandomState(0)
+    B, L, K = 2, 12, 9
+    ids = rng.randint(1, cfg.vocab_size, (B, L)).astype(np.int32)
+    ids[0, -4:] = 0
+    ids[1, -2:] = 0
+    feats = rng.randn(B, K, cfg.v_feature_size).astype(np.float32)
+    locs = rng.rand(B, K, cfg.num_locs).astype(np.float32)
+    types = np.zeros((B, L), np.int32)
+    mask = (ids != 0).astype(np.int32)
+    params = jax.jit(lambda r: model.init(r, ids, feats, locs, types, mask,
+                                          None))(jax.random.PRNGKey(0))
+    seq_t, _, pooled_t, pooled_v, _ = model.apply(params, ids, feats, locs,
+                                                  types, mask, None)
+    assert pooled_t.shape == (B, cfg.pooler_size)
+    assert pooled_v is None
+    # pooled output must be a function of the (text_end - 2) position:
+    # recompute manually through the pooler params
+    dense_k = params["params"]["t_pooler"]["dense"]["kernel"]
+    dense_b = params["params"]["t_pooler"]["dense"]["bias"]
+    for i in range(B):
+        pos = int(mask[i].sum()) - 2
+        manual = np.maximum(
+            np.asarray(seq_t)[i, pos] @ np.asarray(dense_k)
+            + np.asarray(dense_b), 0)
+        np.testing.assert_allclose(np.asarray(pooled_t)[i], manual,
+                                   rtol=1e-4, atol=1e-5)
