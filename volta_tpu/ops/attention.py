@@ -59,7 +59,8 @@ def fused_attention(q, k, v, bias, scale, *, use_pallas: bool = True):
     PV in VMEM; elsewhere falls back to the XLA composition (which XLA also
     fuses well at these shapes).
     """
-    if use_pallas and q.shape[1] >= 8 and jax.default_backend() == "tpu":
+    if (use_pallas and bias is not None and q.shape[1] >= 8
+            and jax.default_backend() == "tpu"):
         from .pallas_attention import pallas_fused_attention
         try:
             return pallas_fused_attention(q, k, v, bias, scale)

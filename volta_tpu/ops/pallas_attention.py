@@ -41,8 +41,44 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def pallas_fused_attention(q, k, v, bias, scale, *, batch_tile: int = 16):
-    """q [B,Lq,H,D], k/v [B,Lk,H,D], bias [B,1,1,Lk] -> [B,Lq,H,D]."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_fused_attention(q, k, v, bias, scale):
+    """q [B,Lq,H,D], k/v [B,Lk,H,D], bias [B,1,1,Lk] -> [B,Lq,H,D].
+
+    Forward runs the Pallas kernel; backward recomputes the standard
+    attention VJP with XLA ops (cheap at these lengths, keeps the kernel
+    forward-only)."""
+    return _pallas_forward(q, k, v, bias, scale)
+
+
+def _attn_fwd(q, k, v, bias, scale):
+    return _pallas_forward(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _attn_bwd(scale, res, g):
+    q, k, v, bias = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", probs, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * scale
+    # bias is [B,1,1,Lk]: reduce heads and query positions
+    dbias = jnp.sum(ds, axis=(1, 2))[:, None, None, :]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype))
+
+
+pallas_fused_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+def _pallas_forward(q, k, v, bias, scale, *, batch_tile: int = 16):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     if b % batch_tile != 0:
