@@ -188,3 +188,62 @@ def test_pallas_attention_custom_vjp():
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_dropout_attention_interpret():
+    """In-kernel dropout: correct scaling, determinism per seed, and
+    directional-derivative consistency of the custom VJP (interpret mode).
+
+    Requires TPU PRNG primitives, which the CPU interpreter cannot lower;
+    the same assertions run on hardware via tools/validate_tpu.py."""
+    import pytest
+    pytest.skip("pltpu.prng_seed has no CPU interpret lowering; "
+                "covered by tools/validate_tpu.py on hardware")
+    from volta_tpu.ops import pallas_attention as pa
+
+    rng = np.random.RandomState(6)
+    B, Lq, Lk, H, D = 8, 16, 16, 2, 32
+    q = jnp.asarray(rng.randn(B, Lq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    bias = jnp.zeros((B, 1, 1, Lk), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+    rate = 0.4
+
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    patch = mock.patch.object(pl, "pallas_call",
+                              functools.partial(orig, interpret=True))
+    with patch:
+        out1 = pa.pallas_dropout_attention(q, k, v, bias, scale, rate, 123,
+                                           batch_tile=4)
+        out2 = pa.pallas_dropout_attention(q, k, v, bias, scale, rate, 123,
+                                           batch_tile=4)
+        out3 = pa.pallas_dropout_attention(q, k, v, bias, scale, rate, 999,
+                                           batch_tile=4)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.array_equal(np.asarray(out1), np.asarray(out3))
+    # expectation preserved: mean over many seeds approaches no-dropout out
+    from volta_tpu.ops.attention import _xla_fused_attention
+    ref = np.asarray(_xla_fused_attention(q, k, v, bias, scale))
+    with patch:
+        acc = np.zeros_like(ref)
+        n = 24
+        for s in range(n):
+            acc += np.asarray(pa.pallas_dropout_attention(
+                q, k, v, bias, scale, rate, 1000 + s, batch_tile=4))
+    np.testing.assert_allclose(acc / n, ref, atol=0.35)
+
+    # custom VJP: out is linear in v, so a directional derivative must match
+    # exactly for the same seed
+    dv_dir = jnp.asarray(rng.randn(*v.shape).astype(np.float32)) * 0.1
+    with patch:
+        f = lambda vv: jnp.sum(pa.pallas_dropout_attention(
+            q, k, vv, bias, scale, rate, 123, batch_tile=4))
+        g_v = jax.grad(f)(v)
+        lhs = float(f(v + dv_dir) - f(v))
+    rhs = float(jnp.sum(g_v * dv_dir))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-3)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""On-hardware validation of the Pallas kernels (run on a real TPU).
+
+Covers what the CPU test suite cannot: the in-kernel dropout attention
+(TPU PRNG primitives) — determinism per seed, expectation preservation,
+custom-VJP directional derivatives — plus fwd parity of the no-dropout
+kernel and the fused LayerNorm against their XLA references.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from volta_tpu.ops import pallas_attention as pa
+    from volta_tpu.ops.attention import _xla_fused_attention
+    from volta_tpu.ops.layernorm import _pallas_layer_norm
+    from volta_tpu.models.layers import layer_norm_ref
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.RandomState(0)
+    B, Lq, Lk, H, D = 32, 64, 64, 4, 64
+    q = jnp.asarray(rng.randn(B, Lq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    bias = jnp.zeros((B, 1, 1, Lk), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    # 1. no-dropout kernel parity
+    got = np.asarray(jax.jit(lambda *a: pa.pallas_fused_attention(
+        *a, scale))(q, k, v, bias))
+    ref = np.asarray(_xla_fused_attention(q, k, v, bias, scale))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    print("fwd parity OK")
+
+    # 2. dropout kernel: determinism + expectation
+    rate = 0.4
+    f = jax.jit(lambda s: pa.pallas_dropout_attention(
+        q, k, v, bias, scale, rate, s))
+    o1, o2, o3 = np.asarray(f(123)), np.asarray(f(123)), np.asarray(f(999))
+    assert np.array_equal(o1, o2), "same seed must reproduce"
+    assert not np.array_equal(o1, o3), "different seeds must differ"
+    zeros_frac = float((o1 == 0).mean())
+    acc = np.zeros_like(ref)
+    n = 32
+    for s in range(n):
+        acc += np.asarray(f(1000 + s))
+    err = np.abs(acc / n - ref).max()
+    print(f"dropout determinism OK; E[out] max err {err:.3f}")
+    assert err < 0.5
+
+    # 3. custom VJP consistency. NOTE: Mosaic PRNG bits are only
+    # deterministic within one compiled program, so fwd/bwd consistency is
+    # checked inside a single value_and_grad program. out is linear in v
+    # (out = Pd @ v), hence sum(out) == <dL/dv, v> exactly when the backward
+    # uses the forward's mask.
+    def f(vv):
+        return jnp.sum(pa.pallas_dropout_attention(
+            q, k, vv, bias, scale, rate, 123))
+
+    val, g_v = jax.jit(jax.value_and_grad(f))(v)
+    lhs, rhs = float(val), float(jnp.sum(g_v * v))
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-3)
+    print(f"dropout VJP mask-consistency OK ({lhs:.4f} vs {rhs:.4f})")
+
+    # rate=0 -> the whole fwd+bwd must match plain attention exactly
+    f0 = jax.jit(lambda vv: pa.pallas_dropout_attention(
+        q, k, vv, bias, scale, 0.0, 7))
+    np.testing.assert_allclose(np.asarray(f0(v)), ref, rtol=2e-5, atol=2e-5)
+    g0 = jax.jit(jax.grad(lambda qq: jnp.sum(jnp.tanh(
+        pa.pallas_dropout_attention(qq, k, v, bias, scale, 0.0, 7)))))(q)
+    gr = jax.jit(jax.grad(lambda qq: jnp.sum(jnp.tanh(
+        _xla_fused_attention(qq, k, v, bias, scale)))))(q)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(gr), rtol=1e-3,
+                               atol=1e-4)
+    print("dropout kernel rate=0 parity (fwd+bwd) OK")
+
+    # 4. pallas layernorm fwd/bwd parity on hardware
+    x = jnp.asarray(rng.randn(512, 768).astype(np.float32))
+    sc = jnp.asarray(rng.randn(768).astype(np.float32))
+    b = jnp.asarray(rng.randn(768).astype(np.float32))
+    got = np.asarray(jax.jit(lambda *a: _pallas_layer_norm(*a, 1e-12))(x, sc, b))
+    refl = np.asarray(layer_norm_ref(x, sc, b))
+    np.testing.assert_allclose(got, refl, rtol=2e-5, atol=2e-5)
+    g1 = jax.jit(jax.grad(lambda x_: jnp.sum(
+        jnp.sin(_pallas_layer_norm(x_, sc, b, 1e-12)))))(x)
+    g2 = jax.jit(jax.grad(lambda x_: jnp.sum(
+        jnp.sin(layer_norm_ref(x_, sc, b)))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+    print("pallas LN parity OK")
+    print("ALL TPU KERNEL VALIDATIONS PASSED")
+
+
+if __name__ == "__main__":
+    main()

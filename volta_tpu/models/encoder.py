@@ -75,6 +75,8 @@ class GatedAttentionSublayer(nn.Module):
     def _attend(self, q, ks, vs, biases, head_dim, drop, deterministic,
                 want_probs, split_sizes):
         """Joint attention over the concatenated KV sources."""
+        import jax
+
         k = ks[0] if len(ks) == 1 else jnp.concatenate(ks, axis=1)
         v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=1)
         bias = biases[0] if len(biases) == 1 else jnp.concatenate(biases, axis=-1)
@@ -84,6 +86,17 @@ class GatedAttentionSublayer(nn.Module):
             out = attn_ops.fused_attention(
                 q, k, v, bias, scale, use_pallas=self.cfg.use_pallas)
             return out, None
+        if (dropping and not want_probs and self.cfg.use_pallas
+                and bias is not None and q.shape[1] >= 8
+                and jax.default_backend() == "tpu"):
+            # fused attention with in-kernel dropout: the probability tensor
+            # never reaches HBM in either direction
+            from ..ops.pallas_attention import pallas_dropout_attention
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max)
+            return pallas_dropout_attention(
+                q, k, v, bias, scale, float(drop.rate), seed), None
         probs = attn_ops.attention_probs(q, k, bias, scale)
         probs_kept = probs
         if dropping:

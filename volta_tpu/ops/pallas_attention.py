@@ -23,6 +23,175 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mix_seed(seed_ref):
+    hi = pl.program_id(0)
+    bi = pl.program_id(1)
+    return seed_ref[0] + hi * 7919 + bi * 104729
+
+
+def _probs(q_ref, k_ref, bias_ref, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [bb, Lq, Lk]
+    scores = scores * scale + bias_ref[:].astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _keep_mask(shape, rate):
+    """Bernoulli keep mask scaled by 1/keep from the per-core PRNG (the
+    caller seeds it; fwd and bwd regenerate the identical mask)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    keep = 1.0 - rate
+    thresh = jnp.uint32(keep * 4294967295.0)
+    return jnp.where(bits < thresh, 1.0 / keep, 0.0).astype(jnp.float32)
+
+
+def _attn_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                             o_ref, m_ref, *, scale, rate):
+    """Computes dropout(softmax(qk+bias)) @ v and emits the Bernoulli keep
+    mask as bfloat16 0/1 (Mosaic PRNG bit order is not reproducible across
+    different kernels, so the backward consumes the saved mask — still 2x
+    smaller than materialising float32 probabilities, which never leave
+    VMEM in either direction)."""
+    pltpu.prng_seed(_mix_seed(seed_ref))
+    probs = _probs(q_ref, k_ref, bias_ref, scale)
+    keep = _keep_mask(probs.shape, rate)
+    probs = probs * keep
+    out = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[0],
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+    m_ref[0] = (keep > 0).astype(jnp.bfloat16)
+
+
+def _attn_dropout_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, m_ref,
+                             dq_ref, dk_ref, dv_ref, *, scale, rate):
+    """Attention VJP; probs recomputed in VMEM, the dropout mask read back
+    from the forward's compact output."""
+    probs = _probs(q_ref, k_ref, bias_ref, scale)
+    mask = m_ref[0].astype(jnp.float32) * (1.0 / (1.0 - rate))
+    pd = probs * mask
+    g = g_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    dv = jax.lax.dot_general(pd, g, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * mask
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _head_major(x):
+    return jnp.transpose(x, (2, 0, 1, 3))
+
+
+def _pick_tile(b, batch_tile):
+    if b % batch_tile == 0:
+        return batch_tile
+    return 8 if b % 8 == 0 else 1
+
+
+def _blk(bt, d):
+    return lambda l: pl.BlockSpec((1, bt, l, d),
+                                  lambda hi, bi: (hi, bi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+
+def _mask_blk(bt, lq, lk):
+    return pl.BlockSpec((1, bt, lq, lk), lambda hi, bi: (hi, bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _bias_blk(bt, lk):
+    return pl.BlockSpec((bt, 1, lk), lambda hi, bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def pallas_dropout_attention(q, k, v, bias, scale, rate, seed,
+                             batch_tile: int = 16):
+    """Training-path attention with in-kernel dropout on the probabilities.
+
+    ``seed`` is an int32 scalar (derived from the step's dropout rng). The
+    float32 probability tensor never reaches HBM; only the compact keep mask
+    is saved for the backward kernel.
+    """
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate,
+                                     _pick_tile(q.shape[0], batch_tile))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate, bt):
+    out, _ = _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt)
+    return out
+
+
+def _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
+                              (b, 1, 1, lk)).reshape(b, 1, lk)
+    blk = _blk(bt, d)
+    out, mask = pl.pallas_call(
+        functools.partial(_attn_dropout_fwd_kernel, scale=scale, rate=rate),
+        grid=(h, b // bt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk)],
+        out_specs=[blk(lq), _mask_blk(bt, lq, lk)],
+        out_shape=[jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16)],
+    )(seed_arr, qh, kh, vh, bias_b)
+    return jnp.transpose(out, (1, 2, 0, 3)), mask
+
+
+def _dropout_fwd_rule(q, k, v, bias, seed_arr, scale, rate, bt):
+    out, mask = _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt)
+    return out, (q, k, v, bias, mask)
+
+
+def _dropout_bwd_rule(scale, rate, bt, res, g):
+    import numpy as _np
+
+    q, k, v, bias, mask = res
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    qh, kh, vh, gh = (_head_major(x) for x in (q, k, v, g))
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
+                              (b, 1, 1, lk)).reshape(b, 1, lk)
+    blk = _blk(bt, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_dropout_bwd_kernel, scale=scale, rate=rate),
+        grid=(h, b // bt),
+        in_specs=[blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk), blk(lq),
+                  _mask_blk(bt, lq, lk)],
+        out_specs=[blk(lq), blk(lk), blk(lk)],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((h, b, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((h, b, lk, d), v.dtype),
+        ],
+    )(qh, kh, vh, bias_b, gh, mask)
+    back = lambda x: jnp.transpose(x, (1, 2, 0, 3))
+    dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
+    return (back(dq), back(dk), back(dv), jnp.zeros_like(bias), dseed)
+
+
+_pallas_dropout_attention.defvjp(_dropout_fwd_rule, _dropout_bwd_rule)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     # blocks: q [1, bb, Lq, D], k/v [1, bb, Lk, D], bias [bb, 1, Lk] (one head)
     q = q_ref[0].astype(jnp.float32)
