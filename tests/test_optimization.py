@@ -126,3 +126,36 @@ def test_freeze_mask_blocks_updates():
         upd["bert"]["embeddings"]["word_embeddings"]["embedding"]).sum()) == 0
     assert float(jnp.abs(
         upd["bert"]["encoder"]["attn_0"]["query"]["kernel"]).sum()) > 0
+
+
+def test_init_classifier_from_answers(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    import fixtures
+    from volta_tpu.data.tokenization import BertTokenizer
+    from volta_tpu.train_utils import init_classifier_from_answers
+
+    vocab = fixtures.make_vocab(str(tmp_path))
+    tok = BertTokenizer(vocab)
+
+    class DS:
+        _tokenizer = tok
+        ans2label = {"dog": 0, "cat": 1, "red ball": 2}
+
+    hidden, num_labels = 8, 3
+    rng = np.random.RandomState(0)
+    word = rng.randn(len(tok), hidden).astype(np.float32)
+    params = {
+        "bert": {"embeddings": {"word_embeddings": {"embedding": word}}},
+        "clf_TASK1": {"dense2": {"kernel": np.zeros((hidden, num_labels),
+                                                    np.float32)}},
+    }
+    out = init_classifier_from_answers(params, "TASK1", DS())
+    kernel = np.asarray(out["clf_TASK1"]["dense2"]["kernel"])
+    # column for "dog" = its word embedding
+    dog_id = tok.convert_tokens_to_ids(tok.tokenize("dog"))[0]
+    np.testing.assert_allclose(kernel[:, 1], word[dog_id], rtol=1e-6)
+    # "red ball" = mean of two token embeddings (sorted order: cat, dog, red ball)
+    ids = tok.convert_tokens_to_ids(tok.tokenize("red ball"))
+    np.testing.assert_allclose(kernel[:, 2], word[np.asarray(ids)].mean(0),
+                               rtol=1e-6)

@@ -110,6 +110,8 @@ def main():
         enable_nan_debugging()
     set_seed(args.seed)
     cfg = VoltaConfig.from_json_file(args.config_file)
+    if "roberta" in args.bert_model:
+        cfg.model = "roberta"
     cfg.compute_dtype = args.compute_dtype
     if args.no_pallas:
         cfg.use_pallas = False
@@ -148,6 +150,12 @@ def main():
         params = params["params"]
         logger.info("loaded %d tensors, %d left at init",
                     len(report["loaded"]), len(report["skipped"]))
+    if tc.get("embed_clf"):
+        # initialise the classifier from answer word embeddings
+        # (reference: train_task.py:182-202)
+        from volta_tpu.train_utils import init_classifier_from_answers
+        params = init_classifier_from_answers(
+            params, task, data["train_dataset"])
     summary_parameters(params)
 
     steps_per_epoch = len(train_loader) // args.grad_acc_steps

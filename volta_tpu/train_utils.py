@@ -17,6 +17,7 @@ from collections import defaultdict
 from typing import Any, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
@@ -201,3 +202,39 @@ def set_seed(seed: int):
     np.random.seed(seed)
     import random
     random.seed(seed)
+
+
+def init_classifier_from_answers(params, task: str, dataset):
+    """Initialise the task classifier's final projection from the mean
+    word embedding of each answer string
+    (reference: train_task.py:182-202). No-op with a warning when the
+    classifier width differs from the text hidden size."""
+    emb = params
+    for key in ("bert", "embeddings", "word_embeddings", "embedding"):
+        emb = emb[key]
+    word_embeddings = np.asarray(emb)
+    tok = dataset._tokenizer
+    rows = []
+    for answer, _label in sorted(dataset.ans2label.items()):
+        ids = tok.convert_tokens_to_ids(tok.tokenize(answer))
+        if ids:
+            rows.append(word_embeddings[np.asarray(ids)].mean(0))
+        else:
+            rows.append(word_embeddings[tok.convert_tokens_to_ids(
+                [tok.unk_token])[0]])
+    table = np.stack(rows)  # [num_labels, hidden]
+    clf = params.get(f"clf_{task}")
+    if clf is None or "dense2" not in clf:
+        logger.warning("embed_clf: no SimpleClassifier head for %s", task)
+        return params
+    kernel = clf["dense2"]["kernel"]
+    if kernel.shape != table.T.shape:
+        logger.warning(
+            "embed_clf: classifier kernel %s != answer embeddings %s; "
+            "skipping init", kernel.shape, table.T.shape)
+        return params
+    clf["dense2"]["kernel"] = jnp.asarray(table.T, dtype=kernel.dtype) \
+        if hasattr(kernel, "dtype") else table.T
+    logger.info("initialised %s classifier from %d answer embeddings",
+                task, table.shape[0])
+    return params
