@@ -125,3 +125,34 @@ def test_retrieval_datasets(tmp_path, tok):
     # the positive image appears in exactly one chunk
     tot = dsv[0]["target"].sum() + dsv[1]["target"].sum()
     assert tot == 1.0
+
+
+def test_roberta_bpe_tokenizer(tmp_path):
+    import json
+    from volta_tpu.data.bpe import RobertaTokenizer, bytes_to_unicode
+
+    # tiny byte-level BPE vocab: merges building "he"+"llo"-ish pieces
+    b2u = bytes_to_unicode()
+    enc = lambda s: "".join(b2u[b] for b in s.encode())
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    pieces = [enc("h"), enc("e"), enc("l"), enc("o"), enc(" h"),
+              enc("he"), enc(" he"), enc("ll"), enc("llo"), enc("hello"),
+              enc(" hello")]
+    for p in pieces:
+        vocab.setdefault(p, len(vocab))
+    json.dump(vocab, open(tmp_path / "vocab.json", "w"))
+    merges = ["#version: 0.2",
+              f"{enc('h')} {enc('e')}",
+              f"{enc('l')} {enc('l')}",
+              f"{enc('ll')} {enc('o')}",
+              f"{enc('he')} {enc('llo')}",
+              f"{enc(' ')} {enc('hello')}"]
+    open(tmp_path / "merges.txt", "w").write("\n".join(merges) + "\n")
+
+    tok = RobertaTokenizer(str(tmp_path / "vocab.json"),
+                           str(tmp_path / "merges.txt"))
+    toks = tok.tokenize("hello hello")
+    assert toks[0] == enc("hello")
+    assert toks[1] == enc(" hello")
+    ids = tok.encode("hello")
+    assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id

@@ -35,6 +35,10 @@ def task_key(task_id: str) -> str:
 
 def make_tokenizer(bert_model: str, do_lower_case: bool = True,
                    vocab_file: str = None):
+    if "roberta" in bert_model:
+        from .data.bpe import RobertaTokenizer
+
+        return RobertaTokenizer.from_pretrained(vocab_file or bert_model)
     from .data.tokenization import BertTokenizer
 
     if vocab_file:
