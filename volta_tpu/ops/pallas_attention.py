@@ -97,10 +97,19 @@ def _head_major(x):
     return jnp.transpose(x, (2, 0, 1, 3))
 
 
-def _pick_tile(b, batch_tile):
-    if b % batch_tile == 0:
-        return batch_tile
-    return 8 if b % 8 == 0 else 1
+def _pick_tile(b, batch_tile, lq=64, lk=64, d=64):
+    """Largest divisor tile of b <= batch_tile whose (bwd) working set fits
+    comfortably in VMEM (~16MB/core; target <= 10MB)."""
+    def vmem_bytes(bt):
+        # probs/mask/ds tiles (f32) + q/k/v/g/dq/dk/dv tiles (<=f32)
+        return bt * (4 * lq * lk * 4 + (3 * lq + 4 * lk) * d * 4)
+
+    bt = min(batch_tile, b)
+    while bt > 1 and (b % bt or vmem_bytes(bt) > 10 * 2**20):
+        bt //= 2
+    while b % bt:
+        bt -= 1
+    return max(bt, 1)
 
 
 def _blk(bt, d):
@@ -128,8 +137,10 @@ def pallas_dropout_attention(q, k, v, bias, scale, rate, seed,
     is saved for the backward kernel.
     """
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    bt = _pick_tile(q.shape[0], batch_tile, q.shape[1], k.shape[1],
+                    q.shape[3])
     return _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate,
-                                     _pick_tile(q.shape[0], batch_tile))
+                                     bt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
