@@ -12,7 +12,7 @@ import json
 import os
 import re
 from functools import lru_cache
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 @lru_cache()

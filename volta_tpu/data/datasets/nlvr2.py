@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import VLDataset, pad_regions, read_jsonlines
+from .base import VLDataset, read_jsonlines
 import os
 
 

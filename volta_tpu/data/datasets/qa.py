@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
 from .base import VLDataset

@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import Dict, List
-
 import numpy as np
 
 from .base import VLDataset, read_jsonlines

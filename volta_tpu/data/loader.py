@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as futures
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 

@@ -12,7 +12,7 @@ reference: volta/encoders.py:1082-1085).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ ops/attention.py for the equivalence).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

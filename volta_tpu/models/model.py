@@ -9,7 +9,7 @@ MLM head).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,9 +17,6 @@ Layout convention: q/k/v are [B, L, H, D]; additive bias is [B, 1, 1, Lk]
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ across the parameter pytree, replacing apex's multi_tensor kernels.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

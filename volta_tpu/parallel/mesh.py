@@ -14,7 +14,6 @@ Axes:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

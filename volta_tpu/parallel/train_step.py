@@ -9,8 +9,7 @@ is ``optax.MultiSteps`` inside the optimizer chain.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ from flax import struct
 
 from ..losses import pretraining_losses
 from ..task_utils import process_batch, task_loss_and_score
-from .mesh import batch_sharding, param_shardings, replicated
+from .mesh import batch_sharding
 
 
 class TrainState(struct.PyTreeNode):
