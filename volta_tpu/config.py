@@ -92,6 +92,11 @@ class VoltaConfig:
     # Pallas fused LayerNorm (XLA's fused LN measured slightly faster at
     # BERT-base shapes, so off by default; flip for wider models).
     use_pallas_layernorm: bool = False
+    # lax.scan over the homogeneous single-stream stack. Same numerics
+    # (deterministic mode bit-equal); measured on v5e: no compile-time win
+    # (remote-compile overhead dominates) and ~26% slower steps, so off by
+    # default — useful only when trace size/memory is the constraint.
+    use_scan: bool = False
 
     _KNOWN = None  # populated below
 

@@ -267,6 +267,71 @@ class GatedFeedForwardSublayer(nn.Module):
         return t_new, v_new
 
 
+# --------------------------------------------------------------------------
+# Pure-function twins of the fused sublayers, used by the scan path: the
+# single-stream encoder is a homogeneous stack, so scanning one compiled
+# block over stacked per-layer params cuts compile time ~depth-fold.
+# Deterministic-mode outputs are identical to the module path
+# (tests/test_fused_single_stream.py).
+def _dense_p(p, x, dt):
+    return x.astype(dt) @ p["kernel"].astype(dt) + p["bias"].astype(dt)
+
+
+def _ln_p(p, x):
+    from .layers import layer_norm_ref
+
+    return layer_norm_ref(x, p["scale"], p["bias"])
+
+
+def _dropout(x, key, rate, deterministic):
+    import jax
+
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
+                      deterministic):
+    import jax
+
+    dt = _dtype(cfg)
+    # one merged QKV matmul (better MXU utilisation than 3 separate)
+    kernel = jnp.concatenate(
+        [p[n]["kernel"].astype(dt) for n in ("query", "key", "value")], 1)
+    b = jnp.concatenate(
+        [p[n]["bias"].astype(dt) for n in ("query", "key", "value")])
+    qkv = x.astype(dt) @ kernel + b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(y, num_heads) for y in (q, k, v))
+    scale = 1.0 / math.sqrt(head_dim)
+    rate = cfg.attention_probs_dropout_prob
+    if deterministic or rate == 0.0:
+        ctx = attn_ops.fused_attention(q, k, v, bias, scale,
+                                       use_pallas=cfg.use_pallas)
+    elif cfg.use_pallas and jax.default_backend() == "tpu":
+        from ..ops.pallas_attention import pallas_dropout_attention
+
+        ctx = pallas_dropout_attention(q, k, v, bias, scale, float(rate),
+                                       seed)
+    else:
+        probs = attn_ops.attention_probs(q, k, bias, scale)
+        probs = _dropout(probs, hkeys[0], rate, deterministic)
+        ctx = attn_ops.attention_out(probs, v)
+    o = _dense_p(p["out_dense"], _merge_heads(ctx), dt)
+    o = _dropout(o, hkeys[1], cfg.hidden_dropout_prob, deterministic)
+    return _ln_p(p["out_ln"], o + x.astype(dt))
+
+
+def _fused_ff_block(p, x, hkey, *, cfg, deterministic):
+    dt = _dtype(cfg)
+    h = ACT2FN[cfg.hidden_act](_dense_p(p["inter_dense"], x, dt))
+    o = _dense_p(p["out_dense"], h, dt)
+    o = _dropout(o, hkey, cfg.hidden_dropout_prob, deterministic)
+    return _ln_p(p["out_ln"], o + x.astype(dt))
+
+
 class GatedEncoder(nn.Module):
     """Depth-D stack dispatching attn vs ff per the static plan
     (reference: volta/encoders.py:820-888)."""
@@ -296,12 +361,16 @@ class GatedEncoder(nn.Module):
                 all(l.fully_fused for l in self.sublayers)):
             x = jnp.concatenate([t, v], axis=1)
             bias = jnp.concatenate([t_bias, v_bias], axis=-1)
-            for layer in self.sublayers:
-                with jax.named_scope(layer.name):
-                    if isinstance(layer, GatedAttentionSublayer):
-                        x = layer.fused(x, bias, deterministic=deterministic)
-                    else:
-                        x = layer.fused(x, deterministic=deterministic)
+            if self._scannable() and not self.is_initializing():
+                x = self._scan_fused(x, bias, deterministic)
+            else:
+                for layer in self.sublayers:
+                    with jax.named_scope(layer.name):
+                        if isinstance(layer, GatedAttentionSublayer):
+                            x = layer.fused(x, bias,
+                                            deterministic=deterministic)
+                        else:
+                            x = layer.fused(x, deterministic=deterministic)
             return x[:, : t.shape[1]], x[:, t.shape[1]:], ([], [], [])
 
         all_t, all_v, all_probs = [], [], []
@@ -319,3 +388,60 @@ class GatedEncoder(nn.Module):
                 all_t.append(t)
                 all_v.append(v)
         return t, v, (all_t, all_v, all_probs)
+
+    # ------------------------------------------------------- scan fast path
+    def _scannable(self) -> bool:
+        """Homogeneous alternating attn/ff stack with scanning enabled."""
+        if not getattr(self.cfg, "use_scan", False):
+            return False
+        if len(self.sublayers) % 2:
+            return False
+        pairs = list(zip(self.sublayers[0::2], self.sublayers[1::2]))
+        if not all(isinstance(a, GatedAttentionSublayer) and
+                   isinstance(f, GatedFeedForwardSublayer)
+                   for a, f in pairs):
+            return False
+        specs = [a.spec for a, _ in pairs]
+        return all(s.num_heads == specs[0].num_heads and
+                   s.attn_hidden_size == specs[0].attn_hidden_size
+                   for s in specs)
+
+    def _scan_fused(self, x, bias, deterministic):
+        """lax.scan over stacked per-layer params: one compiled block for
+        the whole depth instead of D inlined sublayers."""
+        import jax
+
+        attn_layers = self.sublayers[0::2]
+        ff_layers = self.sublayers[1::2]
+        n = len(attn_layers)
+        spec = attn_layers[0].spec
+        head_dim = spec.attn_hidden_size // spec.num_heads
+
+        stack = lambda trees: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *trees)
+        attn_stack = stack([l.variables["params"] for l in attn_layers])
+        ff_stack = stack([l.variables["params"] for l in ff_layers])
+
+        if deterministic:
+            seeds = jnp.zeros((n,), jnp.int32)
+            hkeys = jax.random.split(jax.random.PRNGKey(0), (n, 3))
+        else:
+            rng = self.make_rng("dropout")
+            seeds = jax.random.randint(rng, (n,), 0,
+                                       jnp.iinfo(jnp.int32).max)
+            hkeys = jax.random.split(jax.random.fold_in(rng, 1), (n, 3))
+
+        cfg = self.cfg
+
+        def body(carry, per_layer):
+            ap, fp, seed, hk = per_layer
+            y = _fused_attn_block(ap, carry, bias, seed, (hk[0], hk[1]),
+                                  cfg=cfg, num_heads=spec.num_heads,
+                                  head_dim=head_dim,
+                                  deterministic=deterministic)
+            y = _fused_ff_block(fp, y, hk[2], cfg=cfg,
+                                deterministic=deterministic)
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, (attn_stack, ff_stack, seeds, hkeys))
+        return x
