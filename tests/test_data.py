@@ -156,3 +156,25 @@ def test_roberta_bpe_tokenizer(tmp_path):
     assert toks[1] == enc(" hello")
     ids = tok.encode("hello")
     assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id
+
+
+def test_vqa_entry_cache(tmp_path, tok):
+    import os
+    ids = [10, 11]
+    feat_path = fixtures.make_features_lmdb(str(tmp_path), ids,
+                                            feature_size=32)
+    fixtures.make_vqa_annotations(str(tmp_path), ids, n_questions=6,
+                                  num_labels=9)
+    rd = ImageFeaturesReader(feat_path, num_locs=5,
+                             add_global_imgfeat="first", feature_size=32)
+    kw = dict(task="VQA", dataroot=str(tmp_path), annotations_jsonpath="",
+              split="train", image_features_reader=rd,
+              gt_image_features_reader=None, tokenizer=tok,
+              max_seq_length=12, max_region_num=6, num_locs=5,
+              add_global_imgfeat="first")
+    ds1 = VQAClassificationDataset(**kw)
+    cache = os.path.join(str(tmp_path), "cache", "VQA_train_12.pkl")
+    assert os.path.exists(cache)
+    ds2 = VQAClassificationDataset(**kw)  # loads from cache
+    np.testing.assert_array_equal(ds1[0]["question"], ds2[0]["question"])
+    np.testing.assert_array_equal(ds1[3]["target"], ds2[3]["target"])

@@ -13,7 +13,7 @@ import os
 import pickle
 import numpy as np
 
-from .base import VLDataset
+from .base import VLDataset, cache_pickle
 
 
 def _load_pickle(path):
@@ -38,12 +38,25 @@ class SoftTargetQADataset(VLDataset):
         self.dataroot = dataroot
         self.ans2label, self.label2ans = self._load_answer_space(dataroot)
         self.num_labels = len(self.ans2label)
-        self.entries = self._load_entries(dataroot, annotations_jsonpath,
-                                          split)
-        for e in self.entries:
-            if "q_tokens" not in e:
+        # tokenised entries are cached like the reference
+        # (reference: vqa_dataset.py:180-187)
+        suffix = "_roberta" if "roberta" in (bert_model or "") else ""
+        cache_path = os.path.join(
+            dataroot, "cache",
+            f"{task}_{split}{suffix}_{max_seq_length}.pkl")
+
+        def build():
+            entries = self._load_entries(dataroot, annotations_jsonpath,
+                                         split)
+            for e in entries:
                 e["q_tokens"], e["q_mask"], e["q_seg"] = \
                     self._text(e["question"])
+            return entries
+
+        try:
+            self.entries = cache_pickle(cache_path, build)
+        except OSError:
+            self.entries = build()
 
     # subclass hooks ------------------------------------------------------
     def _load_answer_space(self, dataroot):
