@@ -147,3 +147,77 @@ def test_resume_from_checkpoint(workdir):
     # a later-step checkpoint now exists
     from volta_tpu.checkpoint import latest_step
     assert latest_step(os.path.join(run_dir, "ckpt")) >= 12
+
+
+def test_gqa_eval_dump(tmp_path):
+    """GQA eval writes {questionId: str, prediction} records through the
+    surrogate-index mapping (string question ids can't ride in batches)."""
+    import json as _json
+    import pickle
+
+    import numpy as np
+
+    from volta_tpu.data import ImageFeaturesReader
+    from volta_tpu.data.datasets import GQAClassificationDataset
+    from volta_tpu.data.tokenization import BertTokenizer
+    import eval_task
+
+    tmp = str(tmp_path)
+    ids = [70, 71]
+    feat_path = fixtures.make_features_lmdb(tmp, ids, feature_size=32)
+    questions = {f"q{i:03d}": {"imageId": str(ids[i % 2]),
+                               "question": "what color is the ball ?",
+                               "answer": "red"} for i in range(6)}
+    _json.dump(questions, open(os.path.join(tmp, "testdev_questions.json"),
+                               "w"))
+    ans = {"red": 0, "blue": 1, "green": 2}
+    pickle.dump(ans, open(os.path.join(tmp, "trainval_ans2label.pkl"), "wb"))
+    pickle.dump(["red", "blue", "green"],
+                open(os.path.join(tmp, "trainval_label2ans.pkl"), "wb"))
+    vocab = fixtures.make_vocab(tmp)
+    cfg_path = write_tiny_model_config(tmp)
+
+    yml = f"""
+TASK15:
+  name: GQA
+  type: VL-classifier-GQA
+  num_labels: 3
+  loss: BCEWithLogitLoss
+  process: normal
+  dataroot: {tmp}
+  features_h5path1: {feat_path}
+  features_h5path2: ''
+  train_annotations_jsonpath: ''
+  val_annotations_jsonpath: ''
+  max_seq_length: 12
+  max_region_num: 6
+  batch_size: 3
+  eval_batch_size: 3
+  train_split: testdev
+  val_split: testdev
+  lr: 0.0001
+  num_epoch: 1
+"""
+    yml_path = os.path.join(tmp, "tasks.yml")
+    open(yml_path, "w").write(yml)
+
+    argv = ["eval_task.py", "--config_file", cfg_path,
+            "--tasks_config_file", yml_path, "--task", "15",
+            "--vocab_file", vocab,
+            "--output_dir", os.path.join(tmp, "results"),
+            "--num_workers", "0", "--compute_dtype", "float32",
+            "--no_pallas"]
+    with mock.patch.object(sys, "argv", argv):
+        eval_task.main()
+    run = os.listdir(os.path.join(tmp, "results"))[0]
+    preds = _json.load(open(os.path.join(tmp, "results", run,
+                                         "testdev_result.json")))
+    assert len(preds) == 6
+    assert sorted(p["questionId"] for p in preds) == sorted(questions)
+    assert all(p["prediction"] in ans for p in preds)
+
+    # the GQA scorer consumes this dump directly
+    sys.path.insert(0, "scripts")
+    import gqa_score
+    acc = gqa_score.evaluate(preds, questions)
+    assert 0.0 <= acc <= 1.0

@@ -78,11 +78,16 @@ class SoftTargetQADataset(VLDataset):
         if labels is not None and len(labels):
             target[np.asarray(labels, np.int64)] = np.asarray(
                 e["scores"], np.float32)
+        qid = e["question_id"]
+        if not isinstance(qid, (int, np.integer)):
+            # string ids (GQA) ride as the entry index; prediction dumps map
+            # back through dataset.entries
+            qid = index
         return {
             "features": feat, "spatials": loc, "image_mask": vmask,
             "question": e["q_tokens"], "target": target,
             "input_mask": e["q_mask"], "segment_ids": e["q_seg"],
-            "question_id": np.int64(e["question_id"]),
+            "question_id": np.int64(qid),
         }
 
 
