@@ -1,0 +1,148 @@
+"""Tensor parallelism: TP(model=2) must reproduce DP numerics.
+
+The mesh 'model' axis shards QKV/FFN kernels, the word-embedding table
+(= tied MLM decoder) and the image prediction heads (parallel/mesh.py).
+Since TP only changes *where* each matmul slice runs, a train step on a
+data=2 x model=2 mesh must produce the same loss and updated parameters as
+the same step on a pure data=4 mesh (up to collective reduction order).
+
+Runs on the 8-virtual-CPU-device mesh from conftest; the Pallas path is
+exercised separately on hardware (tools/validate_tpu.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from __graft_entry__ import _flagship, _task_cfg, _vqa_batch
+from volta_tpu.models import VoltaForVLTasks
+from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
+from volta_tpu.parallel import (create_train_state, make_mesh,
+                                make_task_train_step, shard_batch)
+from volta_tpu.parallel.mesh import state_shardings
+
+
+def _setup():
+    cfg = _flagship(small=True)
+    cfg.compute_dtype = "float32"
+    task_cfg = _task_cfg(num_labels=8)
+    model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
+    batch = _vqa_batch(cfg, 8, 8, 5)
+    batch["target"] = batch["target"][:, :8]
+    params = jax.jit(lambda r: model.init(
+        r, batch["question"], batch["features"], batch["spatials"], "TASK1",
+        batch["segment_ids"], batch["input_mask"], batch["image_mask"]))(
+        jax.random.PRNGKey(0))["params"]
+    # host copy: each run donates its own device buffers
+    return cfg, task_cfg, model, batch, jax.device_get(params)
+
+
+def _run_step(model, task_cfg, params, batch, n_data, n_model):
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[: n_data * n_model])
+    tx = build_optimizer("adamw", warmup_linear_schedule(1e-3, 2, 100),
+                         params, clip_norm=1.0)
+    state = create_train_state(jax.random.PRNGKey(1), params, tx)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    step = make_task_train_step(model, tx, task_cfg, "TASK1", mesh=mesh)
+    state, metrics = step(state, shard_batch(mesh, batch))
+    return mesh, state, jax.device_get(metrics)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 CPU devices")
+def test_tp_matches_dp_numerics():
+    cfg, task_cfg, model, batch, params = _setup()
+    _, state_dp, m_dp = _run_step(model, task_cfg, params, batch, 4, 1)
+    mesh_tp, state_tp, m_tp = _run_step(model, task_cfg, params, batch, 2, 2)
+
+    assert m_tp["loss"] == pytest.approx(m_dp["loss"], rel=2e-5)
+    flat_dp = jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state_dp.params))
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state_tp.params)))
+    checked = 0
+    for path, leaf_dp in flat_dp:
+        leaf_tp = flat_tp[path]
+        np.testing.assert_allclose(leaf_dp, leaf_tp, rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
+        checked += 1
+    assert checked > 20
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 CPU devices")
+def test_tp_actually_shards_big_params():
+    """The embedding table / FFN kernels must carry a 'model' dimension in
+    their sharding, not silently replicate."""
+    cfg, task_cfg, model, batch, params = _setup()
+    mesh_tp, state_tp, _ = _run_step(model, task_cfg, params, batch, 1, 2)
+
+    def find(tree, *parts):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            keys = [getattr(p, "key", "") for p in path]
+            if all(any(part == k for k in keys) for part in parts):
+                return leaf
+        raise KeyError(parts)
+
+    def spec2(leaf):
+        s = tuple(leaf.sharding.spec)
+        return s + (None,) * (2 - len(s))
+
+    word = find(state_tp.params, "word_embeddings", "embedding")
+    assert spec2(word) == ("model", None)
+    inter = find(state_tp.params, "inter_dense", "kernel")
+    assert spec2(inter) == (None, "model")
+    # optimizer moments follow the same layout
+    word_mu = find(state_tp.opt_state, "word_embeddings", "embedding")
+    assert spec2(word_mu) == ("model", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 CPU devices")
+def test_tp_matches_dp_pretraining():
+    from volta_tpu.parallel import make_pretrain_step
+    from volta_tpu.models import VoltaForVLPreTraining
+
+    cfg = _flagship(small=True)
+    cfg.compute_dtype = "float32"
+    model = VoltaForVLPreTraining(cfg)
+    rng = np.random.RandomState(0)
+    b, l, r = 8, 8, 5
+    # image_feat/loc/mask carry the +1 global row; the loss targets
+    # (image_label / image_cls) cover only the real regions
+    rr = r - 1 if cfg.add_global_imgfeat else r
+    batch = {
+        "input_ids": rng.randint(1, cfg.vocab_size, (b, l)).astype(np.int32),
+        "input_mask": np.ones((b, l), np.int32),
+        "segment_ids": np.zeros((b, l), np.int32),
+        "lm_label_ids": np.where(rng.rand(b, l) < 0.2,
+                                 rng.randint(0, cfg.vocab_size, (b, l)),
+                                 -1).astype(np.int64),
+        "is_match": rng.randint(0, 2, (b,)).astype(np.int32),
+        "image_feat": rng.randn(b, r, cfg.v_feature_size).astype(np.float32),
+        "image_loc": rng.rand(b, r, cfg.num_locs).astype(np.float32),
+        "image_mask": np.ones((b, r), np.int32),
+        "image_label": np.where(rng.rand(b, rr) < 0.3, 1,
+                                -1).astype(np.int64),
+        "image_cls": np.full((b, rr, 1601), 1.0 / 1601, np.float32),
+    }
+    params = jax.device_get(jax.jit(lambda k: model.init(
+        k, batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        batch["segment_ids"], batch["input_mask"], batch["image_mask"]))(
+        jax.random.PRNGKey(0))["params"])
+
+    def run(n_data, n_model):
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[: n_data * n_model])
+        tx = build_optimizer("adamw", warmup_linear_schedule(1e-3, 2, 100),
+                             params, clip_norm=1.0)
+        state = create_train_state(jax.random.PRNGKey(1), params, tx)
+        state = jax.device_put(state, state_shardings(mesh, state))
+        step = make_pretrain_step(model, tx, cfg, objective=0, mesh=mesh)
+        state, metrics = step(state, shard_batch(mesh, batch))
+        return jax.device_get(metrics)
+
+    m_dp = run(4, 1)
+    m_tp = run(2, 2)
+    for key in ("loss", "masked_t", "masked_v", "itm"):
+        assert m_tp[key] == pytest.approx(m_dp[key], rel=3e-5, abs=1e-6), key

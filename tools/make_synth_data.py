@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Generate real-scale synthetic datasets for pipeline/throughput testing.
+
+The driver environment has no access to the real Conceptual Captions / VQA
+feature stores, so throughput work uses synthetic data with the exact
+on-disk formats and shapes of the reference pipelines:
+
+* ``vqa``  — region-feature LMDB with pickled base64-float32 records
+  (reference: data/flickr30k/convert_flickr30k_lmdb.py:17-28) at the
+  bottom-up-attention scale (36 boxes x 2048 dims), plus VQA v2 question
+  JSONs, target pkls, and the answer space
+  (reference: volta/datasets/vqa_dataset.py:120-187).
+* ``cc``   — tensorpack-style 13-field msgpack LMDB shard + caption json
+  (reference: volta/datasets/concept_cap_dataset.py:429-431,
+  data/conceptual_captions/preprocess_cc_train.py:30-70).
+
+Usage:
+  python tools/make_synth_data.py vqa --out /root/synth/vqa --images 20000 \
+      --questions 60000
+  python tools/make_synth_data.py cc  --out /root/synth/cc  --images 20000
+"""
+
+import argparse
+import base64
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORD_STEMS = [
+    "dog", "cat", "man", "woman", "ball", "car", "tree", "house", "red",
+    "blue", "green", "small", "large", "play", "run", "sit", "stand", "hold",
+    "wear", "table", "chair", "street", "water", "sky", "grass", "food",
+    "plate", "glass", "phone", "book", "sign", "light", "window", "door",
+    "hand", "head", "shirt", "hat", "bag", "bike", "bus", "train", "plane",
+    "boat", "bird", "horse", "cow", "sheep", "bear", "zebra",
+]
+
+
+def make_vocab(path, size=30522):
+    """Write a WordPiece vocab of the reference's size (bert-base-uncased
+    30522) so tokenizer throughput is realistic."""
+    toks = ["[PAD]", "[unused0]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    toks += list("abcdefghijklmnopqrstuvwxyz0123456789.,?!'-")
+    toks += ["what", "where", "who", "why", "how", "is", "are", "the", "a",
+             "an", "of", "on", "in", "at", "there", "color", "many", "doing",
+             "and", "with", "to", "two", "three"]
+    toks += WORD_STEMS
+    i = 0
+    while len(toks) < size:
+        stem = WORD_STEMS[i % len(WORD_STEMS)]
+        n = i // len(WORD_STEMS)
+        toks.append(f"##{stem}{n}" if n % 2 else f"{stem}{n}")
+        i += 1
+    with open(path, "w") as f:
+        f.write("\n".join(toks[:size]) + "\n")
+
+
+def _boxes(rng, n, w, h):
+    x1 = rng.rand(n, 1) * (w * 0.7)
+    y1 = rng.rand(n, 1) * (h * 0.7)
+    x2 = x1 + 8 + rng.rand(n, 1) * (w * 0.3 - 8)
+    y2 = y1 + 8 + rng.rand(n, 1) * (h * 0.3 - 8)
+    return np.concatenate([x1, y1, x2, y2], 1).astype(np.float32)
+
+
+def gen_vqa(args):
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+
+    # ---- features LMDB (b64 float32, 36 boxes, 2048 dims)
+    items, keys = [], []
+    for i in range(args.images):
+        key = str(1000000 + i).encode()
+        keys.append(key)
+        feats = (rng.randn(args.boxes, args.feat_dim) * 0.5).astype(np.float32)
+        rec = {
+            "img_id": 1000000 + i, "img_h": 480, "img_w": 640,
+            "num_boxes": args.boxes,
+            "features": base64.b64encode(feats.tobytes()),
+            "boxes": base64.b64encode(_boxes(rng, args.boxes, 640,
+                                             480).tobytes()),
+        }
+        items.append((key, pickle.dumps(rec)))
+        if (i + 1) % 5000 == 0:
+            print(f"  features {i + 1}/{args.images}", flush=True)
+    items.append((b"keys", pickle.dumps(keys)))
+    lmdb_path = os.path.join(args.out, "features.lmdb")
+    lmdbx.write(lmdb_path, items)
+    del items
+    print(f"features LMDB: {args.images} images, "
+          f"{os.path.getsize(lmdb_path) / 2**30:.2f} GiB, "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    # ---- answer space
+    num_labels = args.num_labels
+    ans2label = {f"answer{i}": i for i in range(num_labels)}
+    with open(os.path.join(args.out, "trainval_ans2label.pkl"), "wb") as f:
+        pickle.dump(ans2label, f)
+    with open(os.path.join(args.out, "trainval_label2ans.pkl"), "wb") as f:
+        pickle.dump([f"answer{i}" for i in range(num_labels)], f)
+
+    # ---- questions + targets (train and a small val)
+    def write_split(name, year, n_q):
+        qs, ts = [], []
+        for q in range(n_q):
+            qid = q if name == "train" else 10_000_000 + q
+            iid = 1000000 + int(rng.randint(args.images))
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(4, 9))]
+            qs.append({"question_id": qid, "image_id": iid,
+                       "question": "what is the " + " ".join(words) + " ?"})
+            ts.append({"question_id": qid, "image_id": iid,
+                       "labels": [int(rng.randint(num_labels))],
+                       "scores": [1.0]})
+        with open(os.path.join(
+                args.out,
+                f"v2_OpenEnded_mscoco_{name}{year}_questions.json"),
+                "w") as f:
+            json.dump({"questions": qs}, f)
+        os.makedirs(os.path.join(args.out, "cache"), exist_ok=True)
+        with open(os.path.join(args.out, "cache", f"{name}_target.pkl"),
+                  "wb") as f:
+            pickle.dump(ts, f)
+
+    write_split("train", "2014", args.questions)
+    write_split("val", "2014", max(args.questions // 12, 1024))
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"vqa synth done in {time.time() - t0:.0f}s -> {args.out}",
+          flush=True)
+
+
+def gen_cc(args):
+    from volta_tpu.data import lmdbx, serialization
+
+    os.makedirs(args.out, exist_ok=True)
+    feats_dir = os.path.join(args.out, "imgfeats")
+    ann_dir = os.path.join(args.out, "annotations")
+    os.makedirs(feats_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+
+    for split, n in (("train", args.images),
+                     ("valid", max(args.images // 10, 512))):
+        items, keys, captions = [], [], {}
+        for i in range(n):
+            key = serialization.tensorpack_key(i)
+            keys.append(key)
+            nb = args.boxes
+            feats = (rng.randn(nb, args.feat_dim) * 0.5).astype(np.float32)
+            cls_prob = rng.rand(nb, 1601).astype(np.float32)
+            cls_prob /= cls_prob.sum(-1, keepdims=True)
+            attr_scores = rng.rand(nb, 401).astype(np.float32)
+            attr_scores /= attr_scores.sum(-1, keepdims=True)
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(6, 14))]
+            caption = " ".join(words)
+            rec = [feats, cls_prob,
+                   rng.randint(0, 1600, (nb,)).astype(np.int64),
+                   rng.rand(nb).astype(np.float32),
+                   rng.randint(0, 400, (nb,)).astype(np.int64),
+                   rng.rand(nb).astype(np.float32),
+                   attr_scores, _boxes(rng, nb, 640, 480),
+                   nb, 480, 640, i, caption]
+            items.append((key, serialization.dumps(rec)))
+            captions[str(i)] = caption
+            if (i + 1) % 5000 == 0:
+                print(f"  cc {split} {i + 1}/{n}", flush=True)
+        items.append((b"__keys__", serialization.dumps(keys)))
+        name = ("training_feat_all.lmdb" if split == "train"
+                else "validation_feat_all.lmdb")
+        lmdbx.write(os.path.join(feats_dir, name), items)
+        del items
+        cap = ("caption_train.json" if split == "train"
+               else "caption_valid.json")
+        with open(os.path.join(ann_dir, cap), "w") as f:
+            json.dump(captions, f)
+        print(f"cc {split}: {n} images, "
+              f"{os.path.getsize(os.path.join(feats_dir, name)) / 2**30:.2f}"
+              f" GiB", flush=True)
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"cc synth done in {time.time() - t0:.0f}s -> {args.out}",
+          flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("vqa", "cc"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--images", type=int, default=20000)
+        sp.add_argument("--boxes", type=int, default=36)
+        sp.add_argument("--feat_dim", type=int, default=2048)
+        sp.add_argument("--seed", type=int, default=0)
+        if name == "vqa":
+            sp.add_argument("--questions", type=int, default=60000)
+            sp.add_argument("--num_labels", type=int, default=3129)
+    args = p.parse_args()
+    (gen_vqa if args.cmd == "vqa" else gen_cc)(args)
+
+
+if __name__ == "__main__":
+    main()

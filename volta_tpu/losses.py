@@ -143,36 +143,41 @@ def xent_1601(pred, weight, label, image_cls=None, image_feat=None,
 
 def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
              obj_labels=None, obj_confs=None, attr_labels=None,
-             attr_confs=None, rng=None, num_negative: int = 128):
+             attr_confs=None, rng=None, num_negative: int = 128,
+             neg_idx=None):
     """Contrastive feature prediction with 128 negatives, 70% cross-batch /
     30% in-batch (reference: volta/losses.py:36-83).
 
     Computed densely over all regions with the masked-position mean taken at
     the end (XLA-friendly; reference gathers masked rows first — identical
-    expectation).
+    expectation). ``neg_idx`` [b, r, num_negative] overrides the sampled
+    flat negative indices (used by the golden numerics tests).
     """
     if image_feat is None:
         return 0.0
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, r, d = image_feat.shape
-    n_across = int(num_negative * 0.7)
-    n_inside = num_negative - int(num_negative * 0.7) \
-        if False else int(num_negative * 0.3)
+    if neg_idx is None:
+        n_across = int(num_negative * 0.7)
+        n_inside = int(num_negative * 0.3)
 
-    k1, k2, k3 = jax.random.split(rng, 3)
-    # cross-batch: random rows != own row (remapped to b-1 like the reference)
-    row_across = jax.random.randint(k1, (b, r, n_across), 0, b - 1)
-    own = jnp.arange(b)[:, None, None]
-    row_across = jnp.where(row_across == own, b - 1, row_across)
-    col_across = jax.random.randint(k2, (b, r, n_across), 0, r)
-    idx_across = row_across * r + col_across
-    # in-batch: own row, random cols != own col
-    col_inside = jax.random.randint(k3, (b, r, n_inside), 0, r - 1)
-    own_col = jnp.arange(r)[None, :, None]
-    col_inside = jnp.where(col_inside == own_col, r - 1, col_inside)
-    idx_inside = own * r + col_inside
-    neg_idx = jnp.concatenate([idx_across, idx_inside], axis=-1)  # [b,r,N]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # cross-batch: random rows != own row (remapped to b-1, reference
+        # volta/losses.py:49-54)
+        row_across = jax.random.randint(k1, (b, r, n_across), 0, b - 1)
+        own = jnp.arange(b)[:, None, None]
+        row_across = jnp.where(row_across == own, b - 1, row_across)
+        col_across = jax.random.randint(k2, (b, r, n_across), 0, r)
+        idx_across = row_across * r + col_across
+        # in-batch: own row, random cols != own col
+        col_inside = jax.random.randint(k3, (b, r, n_inside), 0, r - 1)
+        own_col = jnp.arange(r)[None, :, None]
+        col_inside = jnp.where(col_inside == own_col, r - 1, col_inside)
+        idx_inside = own * r + col_inside
+        neg_idx = jnp.concatenate([idx_across, idx_inside], axis=-1)
+    else:
+        num_negative = neg_idx.shape[-1]
 
     flat = image_feat.reshape(b * r, d).astype(jnp.float32)
     negs = flat[neg_idx.reshape(-1)].reshape(b, r, num_negative, d)

@@ -91,11 +91,18 @@ class GatedAttentionSublayer(nn.Module):
             # fused attention with in-kernel dropout: the probability tensor
             # never reaches HBM in either direction
             from ..ops.pallas_attention import pallas_dropout_attention
+            from ..parallel import tp
 
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max)
-            return pallas_dropout_attention(
-                q, k, v, bias, scale, float(drop.rate), seed), None
+            mesh = tp.current_mesh()
+            if mesh is None or tp.shardable(mesh, q):
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max)
+                rate = float(drop.rate)
+                return tp.shard_dropout_attention(
+                    lambda q, k, v, b, s: pallas_dropout_attention(
+                        q, k, v, b, scale, rate, s),
+                    q, k, v, bias, seed), None
         probs = attn_ops.attention_probs(q, k, bias, scale)
         probs_kept = probs
         if dropping:
@@ -296,6 +303,8 @@ def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
                       deterministic):
     import jax
 
+    from ..parallel import tp
+
     dt = _dtype(cfg)
     # one merged QKV matmul (better MXU utilisation than 3 separate)
     kernel = jnp.concatenate(
@@ -310,11 +319,14 @@ def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
     if deterministic or rate == 0.0:
         ctx = attn_ops.fused_attention(q, k, v, bias, scale,
                                        use_pallas=cfg.use_pallas)
-    elif cfg.use_pallas and jax.default_backend() == "tpu":
+    elif cfg.use_pallas and jax.default_backend() == "tpu" and (
+            tp.current_mesh() is None or tp.shardable(tp.current_mesh(), q)):
         from ..ops.pallas_attention import pallas_dropout_attention
 
-        ctx = pallas_dropout_attention(q, k, v, bias, scale, float(rate),
-                                       seed)
+        ctx = tp.shard_dropout_attention(
+            lambda q, k, v, b, s: pallas_dropout_attention(
+                q, k, v, b, scale, float(rate), s),
+            q, k, v, bias, seed)
     else:
         probs = attn_ops.attention_probs(q, k, bias, scale)
         probs = _dropout(probs, hkeys[0], rate, deterministic)

@@ -59,8 +59,16 @@ def fused_attention(q, k, v, bias, scale, *, use_pallas: bool = True):
     if (use_pallas and bias is not None and q.shape[1] >= 8
             and jax.default_backend() == "tpu"):
         from .pallas_attention import pallas_fused_attention
+        from ..parallel import tp
+
+        mesh = tp.current_mesh()
         try:
-            return pallas_fused_attention(q, k, v, bias, scale)
+            if mesh is None:
+                return pallas_fused_attention(q, k, v, bias, scale)
+            if tp.shardable(mesh, q):
+                return tp.shard_attention(
+                    lambda q, k, v, b: pallas_fused_attention(
+                        q, k, v, b, scale), q, k, v, bias)
         except NotImplementedError:
             pass
     return _xla_fused_attention(q, k, v, bias, scale)

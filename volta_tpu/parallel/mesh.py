@@ -48,22 +48,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_OUT_SHARDED = ("inter_dense", "v_inter_dense", "query", "key", "value",
+                "v_query", "v_key", "v_value")
+_IN_SHARDED = ("out_dense", "v_out_dense")
+
+
 def _param_pspec(path, leaf, n_model: int) -> P:
-    """Parameter layout. With ``model`` axis >1, shard the big projections:
-    FFN intermediate kernels over the output dim, output kernels over the
-    input dim, attention QKV over heads (output dim)."""
+    """Parameter layout. With ``model`` axis >1, Megatron-style sharding:
+
+    * FFN up-projections and QKV over the output dim (heads), the paired
+      down/output projections over the input dim (psum on exit);
+    * the word-embedding table over the vocab dim — this is also the tied
+      MLM decoder, the largest matmul in pretraining (vocab-parallel
+      logits + sharded decoder bias);
+    * the per-objective image prediction heads over their target dim.
+    """
     if n_model <= 1:
         return P()
+
+    def fits(spec: P) -> P:
+        # device_put rejects uneven shards; replicate odd dims (e.g. the
+        # 1601-way kl head)
+        for dim, name in enumerate(spec):
+            if name == "model" and leaf.shape[dim] % n_model:
+                return P()
+        return spec
+
     names = [p.key for p in path if hasattr(p, "key")]
     leafname = names[-1] if names else ""
     mod = names[-2] if len(names) >= 2 else ""
-    if leafname != "kernel" or leaf.ndim != 2:
-        return P()
-    if mod in ("inter_dense", "v_inter_dense", "query", "key", "value",
-               "v_query", "v_key", "v_value"):
-        return P(None, "model")
-    if mod in ("out_dense", "v_out_dense"):
-        return P("model", None)
+    if leafname == "embedding" and mod == "word_embeddings" \
+            and leaf.ndim == 2:
+        return fits(P("model", None))
+    if leafname == "decoder_bias":
+        return fits(P("model"))
+    if mod.startswith("decoder_") and "image_predictions" in names:
+        return fits(P(None, "model") if leafname == "kernel"
+                    else P("model"))
+    if leafname == "kernel" and leaf.ndim == 2:
+        if mod in _OUT_SHARDED:
+            return fits(P(None, "model"))
+        if mod in _IN_SHARDED:
+            return fits(P("model", None))
+    if leafname == "bias" and mod in _OUT_SHARDED:
+        return fits(P("model"))
     return P()
 
 

@@ -83,7 +83,7 @@ def make_task_eval_step(model, task_cfg: Dict, task_id: str, mesh=None
                 "batch_size": info["batch_size"], "prediction": pred}
 
     if mesh is not None:
-        return jax.jit(eval_fn,
+        return jax.jit(_with_mesh(eval_fn, mesh),
                        in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(eval_fn)
 
@@ -160,7 +160,8 @@ def make_pretrain_eval_step(model, cfg, mesh=None) -> Callable:
                 "itm": itm}
 
     if mesh is not None:
-        return jax.jit(eval_fn, in_shardings=(None, batch_sharding(mesh)))
+        return jax.jit(_with_mesh(eval_fn, mesh),
+                       in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(eval_fn)
 
 
@@ -180,4 +181,16 @@ def _jit_step(step_fn, mesh, donate):
         kw["donate_argnums"] = (0,)
     if mesh is not None:
         kw["in_shardings"] = (None, batch_sharding(mesh))
-    return jax.jit(step_fn, **kw)
+    return jax.jit(_with_mesh(step_fn, mesh), **kw)
+
+
+def _with_mesh(fn, mesh):
+    """Install the mesh for the trace so Pallas call sites can shard_map
+    themselves (see parallel/tp.py)."""
+    from .tp import mesh_context
+
+    def wrapped(*args):
+        with mesh_context(mesh):
+            return fn(*args)
+
+    return wrapped

@@ -100,20 +100,29 @@ def load_dataset(args, cfg, task_cfg: Dict[str, Any], task_id: str,
     n_hosts = jax.process_count()
     batch_size = tc["batch_size"] // args.grad_acc_steps // n_hosts
 
+    packed = getattr(args, "in_memory", False)
+    num_procs = getattr(args, "num_worker_procs", 0)
+    feat_dtype = "bfloat16" if getattr(cfg, "compute_dtype", "") == \
+        "bfloat16" else "float32"
     out = {"task": task, "batch_size": batch_size}
     if "train" in split:
         ds = _build_dataset(DatasetMapTrain, cfg, tc, tokenizer,
                             "train_split", "train_annotations_jsonpath",
                             readers, args.bert_model)
+        if packed and hasattr(ds, "enable_packed"):
+            ds.enable_packed(feat_dtype=feat_dtype)
         out["train_dataset"] = ds
         out["train_loader"] = DataLoader(
             ds, batch_size, shuffle=True, seed=args.seed,
             drop_last=True, num_workers=args.num_workers,
-            num_shards=n_hosts, shard_index=jax.process_index())
+            num_shards=n_hosts, shard_index=jax.process_index(),
+            num_procs=num_procs)
     if "val" in split:
         ds = _build_dataset(DatasetMapTrain, cfg, tc, tokenizer,
                             "val_split", "val_annotations_jsonpath",
                             readers, args.bert_model)
+        if packed and hasattr(ds, "enable_packed"):
+            ds.enable_packed(feat_dtype=feat_dtype)
         out["val_dataset"] = ds
         out["val_loader"] = DataLoader(
             ds, batch_size, shuffle=False, drop_last=True,
