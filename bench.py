@@ -15,6 +15,7 @@ fp32 (19.5 TFLOPs peak, ~40% utilisation for BERT-base at seq 60)
 vs_baseline ≥ 3.
 """
 
+import argparse
 import json
 import time
 
@@ -23,10 +24,98 @@ import numpy as np
 A100_REF_PAIRS_PER_SEC = 250.0
 
 
+def _parse():
+    p = argparse.ArgumentParser()
+    p.add_argument("--validate", action="store_true",
+                   help="run the hardware kernel validation suite "
+                        "(tools/validate_tpu.py) before benchmarking so a "
+                        "Pallas regression cannot ship behind a fast number")
+    p.add_argument("--with_data", default="",
+                   help="synthetic VQA dataroot (tools/make_synth_data.py): "
+                        "additionally measure with the packed loader "
+                        "feeding fresh batches (input pipeline in the "
+                        "measured loop)")
+    p.add_argument("--data_steps", type=int, default=100)
+    p.add_argument("--device_store", action="store_true",
+                   help="with --with_data: keep the packed feature store "
+                        "in HBM and ship only indices + sparse targets per "
+                        "step (for hosts with slow device links)")
+    return p.parse_args()
+
+
+def _bench_with_data(args, pieces, state, mesh, shard_batch, b):
+    import os
+
+    import jax
+
+    from volta_tpu.data.datasets import DatasetMapTrain
+    from volta_tpu.data.features_reader import ImageFeaturesReader
+    from volta_tpu.data.loader import DataLoader
+    from volta_tpu.data.tokenization import BertTokenizer
+    from volta_tpu.parallel import make_task_train_step
+
+    model, tx, task_cfg, step = pieces
+    tok = BertTokenizer(os.path.join(args.with_data, "vocab.txt"))
+    reader = ImageFeaturesReader(
+        os.path.join(args.with_data, "features.lmdb"), num_locs=5,
+        add_global_imgfeat="last", feature_size=2048)
+    ds = DatasetMapTrain["VQA"](
+        task="VQA", dataroot=args.with_data, annotations_jsonpath="",
+        split="train", image_features_reader=reader,
+        gt_image_features_reader=None, tokenizer=tok,
+        bert_model="bert-base-uncased", padding_index=0, max_seq_length=23,
+        max_region_num=36, num_locs=5, add_global_imgfeat="last")
+    label = "loader-in-loop"
+    if args.device_store:
+        label = "device-store loader-in-loop"
+        ds.enable_device_store(feat_dtype="bfloat16")
+        store = jax.device_put(
+            ds.device_store_arrays(),
+            jax.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        step = make_task_train_step(model, tx, task_cfg, "TASK1",
+                                    mesh=mesh, store=store)
+    else:
+        ds.enable_packed(feat_dtype="bfloat16")
+    loader = DataLoader(ds, b, shuffle=True, drop_last=True, num_workers=2)
+    it = iter(loader)
+    state, m = step(state, shard_batch(mesh, next(it)))  # shape warmup
+    float(m["loss"])
+    n = 0
+    t0 = time.perf_counter()
+    for hb in it:
+        state, m = step(state, shard_batch(mesh, hb))
+        n += 1
+        if n >= args.data_steps:
+            break
+    _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+    rate = b * n / dt
+    print(json.dumps({
+        "metric": f"ctrl_uniter VQA fine-tune throughput ({label})",
+        "value": round(rate, 2),
+        "unit": f"image-text pairs/sec/chip over {n} fresh LMDB batches",
+        "vs_baseline": round(rate / A100_REF_PAIRS_PER_SEC, 3)}), flush=True)
+
+
 def main():
+    args = _parse()
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
+
+    if args.validate:
+        import importlib.util
+        import os
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "validate_tpu", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "validate_tpu.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        print("validate_tpu: OK", file=sys.stderr, flush=True)
+
 
     from volta_tpu.models import VoltaForVLTasks
     from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
@@ -79,7 +168,11 @@ def main():
         "unit": "image-text pairs/sec/chip (batch 256, seq 23, 37 regions, "
                 "bf16 train step incl. AdamW)",
         "vs_baseline": round(per_chip / A100_REF_PAIRS_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+    if args.with_data:
+        _bench_with_data(args, (model, tx, task_cfg, step), state, mesh,
+                         shard_batch, b)
 
 
 if __name__ == "__main__":

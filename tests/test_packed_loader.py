@@ -59,6 +59,146 @@ def test_loader_uses_packed_path(vqa_ds):
                                   again[0]["question_id"])
 
 
+def _make_cc(tmp, n=24, objective=0, visualization=False):
+    from volta_tpu.data.datasets.concap import ConceptCapDataset
+    import os
+
+    feats_dir, ann_dir = fixtures.make_concap_lmdb(tmp, n=n, num_boxes=5,
+                                                   feature_size=32)
+    tok = BertTokenizer(fixtures.make_vocab(tmp))
+    return ConceptCapDataset(
+        os.path.join(feats_dir, "training_feat_all.lmdb"),
+        os.path.join(ann_dir, "caption_train.json"), tok,
+        seq_len=12, region_len=6, objective=objective,
+        visualization=visualization, num_locs=5,
+        add_global_imgfeat="last")
+
+
+def test_concap_packed_matches_getitem_deterministic(tmp_path):
+    """With masking/ITM disabled the packed CC batch must equal the
+    per-sample path exactly (image_attrs is intentionally absent — nothing
+    consumes it)."""
+    ds = _make_cc(str(tmp_path), objective=2, visualization=True)
+    ds.enable_packed(cache=False)
+    idx = np.array([5, 0, 17, 9])
+    got = ds.get_batch(idx)
+    want = collate([ds[int(i)] for i in idx])
+    for key in got:
+        np.testing.assert_allclose(
+            np.asarray(got[key], np.float32),
+            np.asarray(want[key], np.float32), rtol=1e-6, atol=1e-6,
+            err_msg=key)
+    assert set(want) - set(got) == {"image_attrs"}
+
+
+def test_concap_packed_masking_statistics(tmp_path):
+    """Masking marginals match the reference probabilities: 15% MLM, 15%
+    MRM (90% zeroed), 50% ITM negatives."""
+    ds = _make_cc(str(tmp_path), n=64)
+    ds.enable_packed(cache=False)
+    rng = np.random.RandomState(0)
+    mlm_frac, mrm_frac, itm_frac, zero_frac = [], [], [], []
+    for e in range(30):
+        ds.set_epoch(e)
+        idx = rng.permutation(len(ds))[:32]
+        b = ds.get_batch(idx)
+        valid_t = b["input_mask"].astype(bool)
+        # CLS/SEP are never masked
+        inner = b["lm_label_ids"] != -1
+        assert not inner[:, 0].any()
+        mlm_frac.append(inner.sum() / max(valid_t.sum() - 2 * len(idx), 1))
+        valid_r = b["image_mask"][:, :-1].astype(bool)  # drop global
+        masked_r = b["image_label"] == 1
+        assert not (masked_r & ~valid_r).any()
+        mrm_frac.append(masked_r.sum() / valid_r.sum())
+        zeroed = (np.asarray(b["image_feat"][:, :-1], np.float32) == 0)\
+            .all(-1) & masked_r
+        zero_frac.append(zeroed.sum() / max(masked_r.sum(), 1))
+        itm_frac.append(b["is_match"].mean())
+    assert abs(np.mean(mlm_frac) - 0.15) < 0.03
+    assert abs(np.mean(mrm_frac) - 0.15) < 0.03
+    assert abs(np.mean(itm_frac) - 0.5) < 0.08
+    assert abs(np.mean(zero_frac) - 0.9) < 0.06
+
+
+def test_concap_packed_cache_roundtrip(tmp_path):
+    ds = _make_cc(str(tmp_path))
+    ds.enable_packed(cache=True)
+    first = {k: np.asarray(v).copy() for k, v in ds._p.items()}
+    ds2 = _make_cc(str(tmp_path))
+    ds2.enable_packed(cache=True)  # loads from disk
+    for k in first:
+        np.testing.assert_array_equal(first[k], np.asarray(ds2._p[k]),
+                                      err_msg=k)
+
+
+def test_device_store_step_matches_dense(tmp_path):
+    """A train step fed (row indices + sparse targets) against the
+    HBM-resident store must produce exactly the same loss/score/params as
+    the dense-batch step."""
+    import jax
+    import os
+
+    from __graft_entry__ import _flagship
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.optimization import (build_optimizer,
+                                        warmup_linear_schedule)
+    from volta_tpu.parallel import create_train_state, make_task_train_step
+
+    tmp = str(tmp_path)
+    ids = [20, 21, 22]
+    cfg = _flagship(small=True)
+    cfg.compute_dtype = "float32"
+    feat = fixtures.make_features_lmdb(tmp, ids,
+                                       feature_size=cfg.v_feature_size)
+    fixtures.make_vqa_annotations(tmp, ids, n_questions=16, num_labels=8)
+    tok = BertTokenizer(fixtures.make_vocab(tmp))
+    reader = ImageFeaturesReader(feat, num_locs=cfg.num_locs,
+                                 add_global_imgfeat=cfg.add_global_imgfeat,
+                                 feature_size=cfg.v_feature_size)
+    ds = DatasetMapTrain["VQA"](
+        task="VQA", dataroot=tmp, annotations_jsonpath="", split="train",
+        image_features_reader=reader, gt_image_features_reader=None,
+        tokenizer=tok, bert_model="bert-base-uncased", padding_index=0,
+        max_seq_length=10, max_region_num=4, num_locs=cfg.num_locs,
+        add_global_imgfeat=cfg.add_global_imgfeat)
+    ds.enable_packed(cache=False)
+    idx = np.arange(8)
+    dense = ds.get_batch(idx)
+    ds.enable_device_store()
+    small = ds.get_batch(idx)
+    assert "features" not in small and "store_rows" in small
+
+    task_cfg = {"TASK1": {"type": "VL-classifier", "num_labels": 8,
+                          "process": "normal", "loss": "BCEWithLogitLoss"}}
+    model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
+    params = jax.device_get(model.init(
+        jax.random.PRNGKey(0), dense["question"], dense["features"],
+        dense["spatials"], "TASK1", dense["segment_ids"],
+        dense["input_mask"], dense["image_mask"])["params"])
+    tx = build_optimizer("adamw", warmup_linear_schedule(1e-3, 2, 10),
+                         params, clip_norm=1.0)
+
+    def run(step, batch):
+        state = create_train_state(jax.random.PRNGKey(1), params, tx)
+        state, m = step(state, batch)
+        return jax.device_get(m), jax.device_get(state.params)
+
+    m_dense, p_dense = run(
+        make_task_train_step(model, tx, task_cfg, "TASK1"), dense)
+    store = ds.device_store_arrays()
+    m_store, p_store = run(
+        make_task_train_step(model, tx, task_cfg, "TASK1", store=store),
+        small)
+    assert m_store["loss"] == pytest.approx(m_dense["loss"], abs=1e-6)
+    assert m_store["score"] == pytest.approx(m_dense["score"], abs=1e-6)
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(p_dense),
+            jax.tree_util.tree_leaves_with_path(p_store)):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7,
+                                   err_msg=str(pa))
+
+
 def test_proc_workers_match_threads(vqa_ds):
     loader_t = DataLoader(vqa_ds, 4, shuffle=True, seed=2, drop_last=True,
                           num_workers=2)

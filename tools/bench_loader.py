@@ -77,7 +77,8 @@ def bench_cc(args):
         split="train", seq_len=36, region_len=36,
         batch_size=args.batch_size, num_workers=args.num_workers,
         objective=0, num_locs=5, add_global_imgfeat="last",
-        num_procs=args.num_procs)
+        num_procs=args.num_procs, packed=args.packed,
+        feat_dtype=args.feat_dtype)
     return bench(loader, args.batches, label="CC")
 
 

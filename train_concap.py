@@ -53,6 +53,11 @@ def parse_args():
     # Seed / workers
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--num_worker_procs", type=int, default=0,
+                   help="forked decode processes (multi-core hosts)")
+    p.add_argument("--in_memory", default=False, type=bool,
+                   help="packed in-RAM store: decode the LMDB once, "
+                        "assemble batches by vectorised gathers")
     # Optimization
     p.add_argument("--adam_epsilon", default=1e-6, type=float)
     p.add_argument("--weight_decay", default=0.01, type=float)
@@ -124,7 +129,10 @@ def main():
         region_len=args.max_region_num, batch_size=per_host_batch,
         num_workers=args.num_workers, objective=args.objective,
         num_locs=cfg.num_locs, add_global_imgfeat=cfg.add_global_imgfeat,
-        seed=args.seed, num_shards=n_hosts, shard_index=jax.process_index())
+        seed=args.seed, num_shards=n_hosts, shard_index=jax.process_index(),
+        num_procs=args.num_worker_procs, packed=args.in_memory,
+        feat_dtype=("bfloat16" if args.compute_dtype == "bfloat16"
+                    else "float32"))
     try:
         _, val_loader = make_concap_loader(
             args.features_path, args.annotations_path, tokenizer,

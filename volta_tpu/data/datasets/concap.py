@@ -208,13 +208,222 @@ class ConceptCapDataset:
         return out
 
 
+    # ------------------------------------------------------ packed batches
+    def enable_packed(self, cache: bool = True, feat_dtype="float32",
+                      target_dtype=None):
+        """Vectorised batch assembly: all records decoded once into
+        contiguous arrays (disk-memoised), per-batch ITM/MLM/MRM masking
+        re-expressed as whole-batch numpy ops. Distribution-identical to
+        the per-sample path (same marginal probabilities per reference:
+        concept_cap_dataset.py:506-668) but drawn from one vectorised RNG
+        stream per batch rather than one per sample.
+
+        ``feat_dtype``/``target_dtype`` ('bfloat16') halve the dominant
+        gather bytes (features / cls soft targets) for bf16-compute runs.
+        ``image_attrs`` is omitted — nothing in the pretraining losses
+        consumes it (reference passes it around unused too).
+        """
+        from .. import packed as packmod
+
+        fdt = packmod.feature_dtype(feat_dtype)
+        tdt = packmod.feature_dtype(target_dtype or feat_dtype)
+        n = len(self.keys)
+        R = self.region_len
+        L2 = self.seq_len - 2
+        tag = (f"ccv1:{n}:{R}:{self.seq_len}:{self.num_locs}:"
+               f"{np.dtype(fdt).name}:{np.dtype(tdt).name}:"
+               f"{len(self.tokenizer)}")
+        cdir = packmod._cache_dir(self.env.path, tag)
+        names = ("feat", "cls", "loc", "nb", "obj_l", "obj_c", "attr_l",
+                 "attr_c", "ovl", "cap_toks", "cap_lens")
+        arrs = None
+        if cache and os.path.isdir(cdir):
+            try:
+                arrs = {nm: packmod._load(
+                    os.path.join(cdir, nm + ".npy"),
+                    fdt if nm == "feat" else (tdt if nm == "cls"
+                                              else np.float32))
+                    for nm in names}
+            except OSError:
+                arrs = None
+        if arrs is None:
+            first = serialization.loads(self.env.get(
+                self.keys[0] if isinstance(self.keys[0], bytes)
+                else str(self.keys[0]).encode()))
+            D = np.asarray(first[0]).shape[-1]
+            arrs = {
+                "feat": np.zeros((n, R, D), fdt),
+                "cls": np.zeros((n, R, 1601), tdt),
+                "loc": np.zeros((n, R, self.num_locs), np.float32),
+                "nb": np.zeros((n,), np.int32),
+                "obj_l": np.zeros((n, R), np.int64),
+                "obj_c": np.zeros((n, R), np.float32),
+                "attr_l": np.zeros((n, R), np.int64),
+                "attr_c": np.zeros((n, R), np.float32),
+                "ovl": np.zeros((n, R, R), bool),
+                "cap_toks": np.zeros((n, L2), np.int32),
+                "cap_lens": np.zeros((n,), np.int32),
+            }
+            for i in range(n):
+                key = self.keys[i]
+                raw = self.env.get(key if isinstance(key, bytes)
+                                   else str(key).encode())
+                (feats, cls_p, obj_l, obj_c, attr_l, attr_c, _attr_s,
+                 boxes, nb, h, w, _iid, caption) = serialization.loads(raw)
+                if isinstance(caption, bytes):
+                    caption = caption.decode("utf-8")
+                nb = min(int(nb), R)
+                arrs["nb"][i] = nb
+                arrs["feat"][i, :nb] = np.asarray(
+                    feats[:nb], np.float32).astype(fdt)
+                arrs["cls"][i, :nb] = np.asarray(
+                    cls_p[:nb], np.float32).astype(tdt)
+                loc = np.zeros((nb, self.num_locs), np.float32)
+                loc[:, :4] = boxes[:nb]
+                if self.num_locs == 5:
+                    loc[:, 4] = ((loc[:, 3] - loc[:, 1])
+                                 * (loc[:, 2] - loc[:, 0])
+                                 / (float(w) * float(h)))
+                loc[:, [0, 2]] /= float(w)
+                loc[:, [1, 3]] /= float(h)
+                arrs["loc"][i, :nb] = loc
+                arrs["obj_l"][i, :nb] = np.asarray(obj_l[:nb]).reshape(-1)
+                arrs["obj_c"][i, :nb] = np.asarray(obj_c[:nb]).reshape(-1)
+                arrs["attr_l"][i, :nb] = np.asarray(attr_l[:nb]).reshape(-1)
+                arrs["attr_c"][i, :nb] = np.asarray(attr_c[:nb]).reshape(-1)
+                iou = np.asarray(boxes_iou(np.asarray(boxes[:nb], np.float32),
+                                           np.asarray(boxes[:nb],
+                                                      np.float32)))
+                arrs["ovl"][i, :nb, :nb] = iou > 0.4
+                toks = list(self.tokenizer.encode(
+                    caption, add_special_tokens=False))[:L2]
+                arrs["cap_toks"][i, :len(toks)] = toks
+                arrs["cap_lens"][i] = len(toks)
+            if cache:
+                try:
+                    os.makedirs(cdir, exist_ok=True)
+                    for nm in names:
+                        packmod._save(os.path.join(cdir, nm + ".npy"),
+                                      arrs[nm])
+                except OSError:
+                    pass
+        self._p = arrs
+        # negative-caption pool from the caption json (reference samples
+        # ITM negatives from the full caption list)
+        if self.captions is not None:
+            pool_toks = np.zeros((len(self.captions), L2), np.int32)
+            pool_lens = np.zeros((len(self.captions),), np.int32)
+            for i, cap in enumerate(self.captions):
+                toks = list(self.tokenizer.encode(
+                    cap, add_special_tokens=False))[:L2]
+                pool_toks[i, :len(toks)] = toks
+                pool_lens[i] = len(toks)
+            self._pool_toks, self._pool_lens = pool_toks, pool_lens
+        else:
+            self._pool_toks = self._pool_lens = None
+        self.get_batch = self._get_packed_batch
+
+    def _get_packed_batch(self, idx):
+        idx = np.asarray(idx, np.int64)
+        b = len(idx)
+        R, L2, S = self.region_len, self.seq_len - 2, self.seq_len
+        p = self._p
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + self.epoch * 7919
+             + int(idx[0]) * 31 + b) % (2**31))
+
+        # ---- ITM negative captions (reference: random_cap)
+        swap_ok = (not self.visualization and self.objective != 2
+                   and self._pool_toks is not None)
+        if swap_ok:
+            swap = rng.rand(b) > 0.5
+            neg = rng.randint(0, len(self._pool_toks), b)
+            toks = np.where(swap[:, None], self._pool_toks[neg],
+                            p["cap_toks"][idx])
+            lens = np.where(swap, self._pool_lens[neg], p["cap_lens"][idx])
+            is_match = swap.astype(np.int32)
+        else:
+            toks = p["cap_toks"][idx]
+            lens = p["cap_lens"][idx]
+            is_match = np.zeros((b,), np.int32)
+
+        # ---- MLM masking (reference: random_word, 15% / 80-10-10)
+        pos = np.arange(L2)[None, :]
+        valid_t = pos < lens[:, None]
+        pr = rng.rand(b, L2)
+        do_t = (pr < 0.15) & valid_t & (not self.visualization)
+        p2 = pr / 0.15
+        out = np.where(do_t & (p2 < 0.8), self.tokenizer.mask_id, toks)
+        rand_words = rng.randint(0, len(self.tokenizer), (b, L2))
+        out = np.where(do_t & (p2 >= 0.8) & (p2 < 0.9), rand_words, out)
+        lm_inner = np.where(do_t, toks, -1)
+
+        input_ids = np.zeros((b, S), np.int32)
+        input_ids[:, 0] = self.tokenizer.cls_id
+        input_ids[:, 1:1 + L2] = np.where(valid_t, out, 0)
+        input_ids[np.arange(b), lens + 1] = self.tokenizer.sep_id
+        input_mask = (np.arange(S)[None, :] < (lens + 2)[:, None]).astype(
+            np.int32)
+        lm_labels = np.full((b, S), -1, np.int64)
+        lm_labels[:, 1:1 + L2] = np.where(valid_t, lm_inner, -1)
+
+        # ---- MRM masking (reference: random_region, 15% / 90% zeroed)
+        nb = p["nb"][idx]
+        valid_r = np.arange(R)[None, :] < nb[:, None]
+        prr = rng.rand(b, R)
+        do_r = (prr < 0.15) & valid_r & (not self.visualization)
+        zero = do_r & (prr / 0.15 < 0.9)
+        feat = np.asarray(p["feat"][idx])
+        feat = feat * (~zero[:, :, None]).astype(feat.dtype)
+        image_label = np.where(do_r, 1, -1).astype(np.int64)
+        ovl = p["ovl"][idx]
+        masked_lbl = (do_r[:, :, None] & ovl).any(axis=1)
+
+        loc = np.asarray(p["loc"][idx])
+        image_mask = valid_r.astype(np.int32)
+        out_batch = {
+            "input_ids": input_ids,
+            "input_mask": input_mask,
+            "segment_ids": np.zeros((b, S), np.int32),
+            "lm_label_ids": lm_labels,
+            "is_match": is_match,
+            "image_feat": feat,
+            "image_loc": loc,
+            "image_cls": np.asarray(p["cls"][idx]),
+            "obj_labels": p["obj_l"][idx],
+            "obj_confs": p["obj_c"][idx],
+            "attr_labels": p["attr_l"][idx],
+            "attr_confs": p["attr_c"][idx],
+            "image_label": image_label,
+            "image_mask": image_mask,
+            "image_id": idx.astype(np.int64),
+        }
+        if self.add_global_imgfeat:
+            count = np.maximum(
+                (valid_r & ~masked_lbl).sum(1), 1)[:, None]
+            g_feat = (feat.astype(np.float32).sum(1)
+                      / count).astype(feat.dtype)[:, None]
+            g_loc = np.tile(np.array(
+                [[[0, 0, 1, 1] + [1] * (self.num_locs - 4)]], np.float32),
+                (b, 1, 1))
+            g_mask = np.ones((b, 1), np.int32)
+            order = ((g_feat, feat), (g_loc, loc), (g_mask, image_mask)) \
+                if self.add_global_imgfeat == "first" else \
+                ((feat, g_feat), (loc, g_loc), (image_mask, g_mask))
+            out_batch["image_feat"] = np.concatenate(order[0], 1)
+            out_batch["image_loc"] = np.concatenate(order[1], 1)
+            out_batch["image_mask"] = np.concatenate(order[2], 1)
+        return out_batch
+
+
 def make_concap_loader(features_path: str, annotations_path: str, tokenizer,
                        *, split: str = "train", seq_len: int = 36,
                        region_len: int = 36, batch_size: int = 512,
                        num_workers: int = 8, objective: int = 0,
                        num_locs: int = 5, add_global_imgfeat=None,
                        seed: int = 0, num_shards: int = 1,
-                       shard_index: int = 0):
+                       shard_index: int = 0, num_procs: int = 0,
+                       packed: bool = False, feat_dtype: str = "float32"):
     """Build the CC dataset + loader (reference: ConceptCapLoaderTrain/Val,
     concept_cap_dataset.py:178-330). Per-rank LMDB shards are honoured when
     present, otherwise all hosts stride over the single environment."""
@@ -243,7 +452,10 @@ def make_concap_loader(features_path: str, annotations_path: str, tokenizer,
         lmdb_path, caption, tokenizer, seq_len=seq_len,
         region_len=region_len, split=split, objective=objective,
         num_locs=num_locs, add_global_imgfeat=add_global_imgfeat, seed=seed)
+    if packed:
+        ds.enable_packed(feat_dtype=feat_dtype)
     loader = DataLoader(ds, batch_size, shuffle=(split == "train"),
                         seed=seed, drop_last=True, num_workers=num_workers,
-                        num_shards=eff_shards, shard_index=eff_index)
+                        num_shards=eff_shards, shard_index=eff_index,
+                        num_procs=num_procs)
     return ds, loader

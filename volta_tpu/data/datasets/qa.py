@@ -109,6 +109,42 @@ class SoftTargetQADataset(VLDataset):
             "question_id": self._qid[idx],
         }
 
+    # ------------------------------------------------- device-resident mode
+    def enable_device_store(self, **packed_kwargs):
+        """Batches carry only row indices + tokens + sparse targets; the
+        packed feature arrays live in device HBM (see
+        parallel.train_step.materialize_store_batch). Use when the
+        host->device link, not decode, limits the input pipeline."""
+        if not hasattr(self, "_pf"):
+            self.enable_packed(**packed_kwargs)
+        K = max(int(self._t_counts.max()) if len(self._t_counts) else 1, 1)
+        self._t_offsets = np.concatenate([[0], np.cumsum(self._t_counts)])
+        self._dense_k = K
+        self.get_batch = self._get_store_batch
+
+    def device_store_arrays(self):
+        return {"feat": np.asarray(self._pf.feat),
+                "loc": np.asarray(self._pf.loc),
+                "mask": np.asarray(self._pf.mask)}
+
+    def _get_store_batch(self, idx):
+        b, K = len(idx), self._dense_k
+        labels = np.full((b, K), -1, np.int32)
+        scores = np.zeros((b, K), np.float32)
+        for j, i in enumerate(idx):
+            o, c = self._t_offsets[i], self._t_counts[i]
+            labels[j, :c] = self._t_labels[o: o + c]
+            scores[j, :c] = self._t_scores[o: o + c]
+        return {
+            "store_rows": self._img_row[idx].astype(np.int32),
+            "target_labels": labels,
+            "target_scores": scores,
+            "question": self._q_tokens[idx],
+            "input_mask": self._q_mask[idx],
+            "segment_ids": self._q_seg[idx],
+            "question_id": self._qid[idx],
+        }
+
     # subclass hooks ------------------------------------------------------
     def _load_answer_space(self, dataroot):
         ans2label = _load_pickle(

@@ -105,17 +105,21 @@ def pack_features(reader, image_ids: Sequence, max_regions: int,
     return PackedFeatures(feat, loc, mask, index)
 
 
+def _is_ml_dtype(dt):
+    return np.dtype(dt).kind == "V" or np.dtype(dt).name == "bfloat16"
+
+
 def _save(path, arr):
     """np.save with ml_dtypes support (bf16 rides as a uint16 view)."""
-    if arr.dtype == np.float32:
-        np.save(path, arr)
-    else:
+    if _is_ml_dtype(arr.dtype):
         np.save(path, arr.view(np.uint16))
+    else:
+        np.save(path, arr)
 
 
 def _load(path, dt):
     arr = np.load(path)
-    return arr if np.dtype(dt) == np.float32 else arr.view(dt)
+    return arr.view(dt) if _is_ml_dtype(dt) else arr
 
 
 def pack_token_rows(rows: Sequence[np.ndarray]) -> np.ndarray:

@@ -176,14 +176,22 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
         col_inside = jnp.where(col_inside == own_col, r - 1, col_inside)
         idx_inside = own * r + col_inside
         neg_idx = jnp.concatenate([idx_across, idx_inside], axis=-1)
-    else:
-        num_negative = neg_idx.shape[-1]
+    # int truncation gives 89 + 38 = 127 actual negatives for the nominal
+    # 128 (reference: volta/losses.py:43-44 does exactly the same)
+    num_negative = neg_idx.shape[-1]
 
+    # score every candidate with one [b*r, d] x [d, b*r] matmul (MXU-sized)
+    # and gather the sampled scalar scores — materialising the gathered
+    # negative *vectors* ([b, r, N, d] = 19 GB at reference shapes) blows
+    # HBM, while all-pairs scores are only [b, r, b*r]
     flat = image_feat.reshape(b * r, d).astype(jnp.float32)
-    negs = flat[neg_idx.reshape(-1)].reshape(b, r, num_negative, d)
-    pos = image_feat.astype(jnp.float32)[..., None, :]  # [b,r,1,d]
-    samples = jnp.concatenate([pos, negs], axis=2)  # [b,r,1+N,d]
-    scores = jnp.einsum("brnd,brd->brn", samples, pred.astype(jnp.float32))
+    predf = pred.astype(jnp.float32)
+    all_scores = jnp.einsum("brd,md->brm", predf, flat,
+                            preferred_element_type=jnp.float32)
+    neg_scores = jnp.take_along_axis(all_scores, neg_idx, axis=-1)
+    pos_scores = jnp.einsum("brd,brd->br", predf,
+                            image_feat.astype(jnp.float32))
+    scores = jnp.concatenate([pos_scores[..., None], neg_scores], axis=-1)
     logp = jax.nn.log_softmax(scores, axis=-1)
     nll = -logp[..., 0]  # positive is class 0
     return weight * _masked_mean_positions(nll, label)

@@ -34,23 +34,61 @@ def create_train_state(rng, params, tx) -> TrainState:
 
 
 # ------------------------------------------------------------- fine-tuning
+def materialize_store_batch(store: Dict, batch: Dict, num_labels: int
+                            ) -> Dict:
+    """Expand a device-store mini-batch into the full batch layout.
+
+    ``store`` holds the whole packed dataset's region features in HBM;
+    the host ships only row indices, token ids and sparse targets per step
+    (~50 KB instead of ~40 MB), and the gathers/scatter run at HBM
+    bandwidth inside the jitted step. TPU-native replacement for shipping
+    dense features over a slow host link every step.
+    """
+    rows = batch["store_rows"]
+    labels = batch["target_labels"]          # [b, K], -1 padded
+    scores = batch["target_scores"]          # [b, K]
+    b, k = labels.shape
+    valid = labels >= 0
+    target = jnp.zeros((b, num_labels), jnp.float32)
+    target = target.at[
+        jnp.repeat(jnp.arange(b), k),
+        jnp.where(valid, labels, 0).reshape(-1)].max(
+        jnp.where(valid, scores, 0.0).reshape(-1).astype(jnp.float32))
+    full = {k2: v for k2, v in batch.items()
+            if k2 not in ("store_rows", "target_labels", "target_scores")}
+    full["features"] = jnp.take(store["feat"], rows, axis=0)
+    full["spatials"] = jnp.take(store["loc"], rows, axis=0)
+    full["image_mask"] = jnp.take(store["mask"], rows, axis=0)
+    full["target"] = target
+    return full
+
+
 def make_task_train_step(model, tx, task_cfg: Dict, task_id: str,
-                         mesh=None, donate: bool = True) -> Callable:
-    """Build the jitted fine-tuning step for one task."""
+                         mesh=None, donate: bool = True,
+                         store: Dict = None) -> Callable:
+    """Build the jitted fine-tuning step for one task. With ``store``
+    (device-resident packed features), batches carry indices + sparse
+    targets instead of dense features."""
     tc = task_cfg[task_id]
     ttype, loss_name = tc["type"], tc.get("loss", "BCEWithLogitLoss")
+    num_labels = tc.get("num_labels", 0)
 
-    def step_fn(state: TrainState, batch: Dict):
+    def step_fn(state: TrainState, store_arg: Dict, batch: Dict):
         rng, dropout_rng = jax.random.split(state.rng)
+        if store_arg is not None:
+            batch_full = materialize_store_batch(store_arg, batch,
+                                                 num_labels)
+        else:
+            batch_full = batch
 
         def loss_fn(params):
-            inputs, info = process_batch(tc, batch)
+            inputs, info = process_batch(tc, batch_full)
             pred, _ = model.apply(
                 {"params": params}, inputs["input_ids"], inputs["image_feat"],
                 inputs["image_loc"], task_id, inputs["token_type_ids"],
                 inputs["attention_mask"], inputs["image_attention_mask"],
                 deterministic=False, rngs={"dropout": dropout_rng})
-            loss, score = task_loss_and_score(ttype, pred, batch, info,
+            loss, score = task_loss_and_score(ttype, pred, batch_full, info,
                                               loss_name)
             return loss, (score, info["batch_size"])
 
@@ -63,7 +101,13 @@ def make_task_train_step(model, tx, task_cfg: Dict, task_id: str,
         metrics = {"loss": loss, "score": score / bsz}
         return new_state, metrics
 
-    return _jit_step(step_fn, mesh, donate)
+    kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh is not None:
+        kw["in_shardings"] = (None, None, batch_sharding(mesh))
+    jitted = jax.jit(_with_mesh(step_fn, mesh), **kw)
+    if store is None:
+        return lambda state, batch: jitted(state, None, batch)
+    return lambda state, batch: jitted(state, store, batch)
 
 
 def make_task_eval_step(model, task_cfg: Dict, task_id: str, mesh=None
