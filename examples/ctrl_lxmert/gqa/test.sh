@@ -1,0 +1,13 @@
+#!/bin/bash
+# ctrl_lxmert x GQA test-split evaluation
+
+TASK=15
+MODEL=ctrl_lxmert
+TASKS_CONFIG=ctrl_test_tasks
+PRETRAINED=checkpoints/gqa/ctrl_lxmert/GQA_${MODEL}/best
+
+python eval_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --output_dir results/gqa/ctrl_lxmert

@@ -1,8 +1,17 @@
 #!/bin/bash
+# ctrl_lxmert x GQA fine-tuning
+# (hyperparameters per reference examples/ctrl_lxmert/gqa/train.sh)
+
+TASK=15
 MODEL=ctrl_lxmert
+TASKS_CONFIG=ctrl_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/ctrl_lxmert/${MODEL}/best
+
 python train_task.py \
-  --config_file configs/${MODEL}.json \
-  --from_pretrained checkpoints/conceptual_captions/${MODEL}/pytorch_model_9.bin \
-  --tasks_config_file config_tasks/all_tasks.yml --task 15 \
-  --vocab_file vocab/bert-base-uncased-vocab.txt \
-  --output_dir save/GQA_${MODEL} --logdir logs/GQA_${MODEL}
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --adam_correct_bias --weight_decay 0.0001 --warmup_proportion 0.1 --clip_grad_norm 1.0 \
+  --output_dir checkpoints/gqa/ctrl_lxmert \
+  --logdir logs/gqa
+#  --resume_file checkpoints/gqa/ctrl_lxmert/GQA_${MODEL}/ckpt

@@ -1,8 +1,13 @@
 #!/bin/bash
+# ctrl_uniter x RetrievalFlickr30k test-split evaluation
+
+TASK=8
 MODEL=ctrl_uniter_base
+TASKS_CONFIG=ctrl_test_tasks
+PRETRAINED=checkpoints/flickr30k/ctrl_uniter/RetrievalFlickr30k_${MODEL}/best
+
 python eval_retrieval.py \
-  --config_file configs/${MODEL}.json \
-  --from_pretrained save/RetrievalFlickr30k_${MODEL}/*/best \
-  --tasks_config_file config_tasks/all_tasks.yml --task 8 --split test \
-  --vocab_file vocab/bert-base-uncased-vocab.txt \
-  --output_dir results/RetrievalFlickr30k_${MODEL}
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --split test --output_dir results/flickr30k/ctrl_uniter

@@ -1,0 +1,13 @@
+#!/bin/bash
+# ctrl_uniter x NLVR2 test-split evaluation
+
+TASK=12
+MODEL=ctrl_uniter_base
+TASKS_CONFIG=ctrl_test_tasks
+PRETRAINED=checkpoints/nlvr2/ctrl_uniter/NLVR2_${MODEL}/best
+
+python eval_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --output_dir results/nlvr2/ctrl_uniter

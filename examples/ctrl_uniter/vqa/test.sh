@@ -1,8 +1,13 @@
 #!/bin/bash
+# ctrl_uniter x VQA test-split evaluation
+
+TASK=1
 MODEL=ctrl_uniter_base
+TASKS_CONFIG=ctrl_test_tasks
+PRETRAINED=checkpoints/vqa/ctrl_uniter/VQA_${MODEL}/best
+
 python eval_task.py \
-  --config_file configs/${MODEL}.json \
-  --from_pretrained save/VQA_${MODEL}/VQA_${MODEL}.json-base/best \
-  --tasks_config_file config_tasks/all_tasks.yml --task 1 --split test \
-  --vocab_file vocab/bert-base-uncased-vocab.txt \
-  --output_dir results/VQA_${MODEL}
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --output_dir results/vqa/ctrl_uniter

@@ -1,8 +1,17 @@
 #!/bin/bash
+# ctrl_vilbert x NLVR2 fine-tuning
+# (hyperparameters per reference examples/ctrl_vilbert/nlvr2/train.sh)
+
+TASK=12
 MODEL=ctrl_vilbert_base
+TASKS_CONFIG=ctrl_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/ctrl_vilbert/${MODEL}/best
+
 python train_task.py \
-  --config_file configs/${MODEL}.json \
-  --from_pretrained checkpoints/conceptual_captions/${MODEL}/pytorch_model_9.bin \
-  --tasks_config_file config_tasks/all_tasks.yml --task 12 \
-  --vocab_file vocab/bert-base-uncased-vocab.txt \
-  --output_dir save/NLVR2_${MODEL} --logdir logs/NLVR2_${MODEL}
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --adam_correct_bias --weight_decay 0.0001 --warmup_proportion 0.1 --clip_grad_norm 1.0 \
+  --output_dir checkpoints/nlvr2/ctrl_vilbert \
+  --logdir logs/nlvr2
+#  --resume_file checkpoints/nlvr2/ctrl_vilbert/NLVR2_${MODEL}/ckpt

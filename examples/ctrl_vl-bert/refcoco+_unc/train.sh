@@ -1,0 +1,17 @@
+#!/bin/bash
+# ctrl_vl-bert x refcoco+ fine-tuning
+# (hyperparameters per reference examples/ctrl_vl-bert/refcoco+_unc/train.sh)
+
+TASK=10
+MODEL=ctrl_vl-bert_base
+TASKS_CONFIG=ctrl_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/ctrl_vl-bert/${MODEL}/best
+
+python train_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --adam_correct_bias --weight_decay 0.0001 --warmup_proportion 0.1 --clip_grad_norm 1.0 \
+  --output_dir checkpoints/refcoco+_unc/ctrl_vl-bert \
+  --logdir logs/refcoco+_unc
+#  --resume_file checkpoints/refcoco+_unc/ctrl_vl-bert/refcoco+_${MODEL}/ckpt

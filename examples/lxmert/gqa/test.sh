@@ -1,0 +1,13 @@
+#!/bin/bash
+# lxmert x GQA test-split evaluation
+
+TASK=15
+MODEL=lxmert
+TASKS_CONFIG=lxmert_test_tasks
+PRETRAINED=checkpoints/gqa/lxmert/GQA_${MODEL}/best
+
+python eval_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --output_dir results/gqa/lxmert

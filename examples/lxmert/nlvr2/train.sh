@@ -1,12 +1,17 @@
 #!/bin/bash
+# lxmert x NLVR2 fine-tuning
+# (hyperparameters per reference examples/lxmert/nlvr2/train.sh)
+
+TASK=12
 MODEL=lxmert
-PRETRAINED=checkpoints/conceptual_captions/${MODEL}/pytorch_model_9.bin
+TASKS_CONFIG=lxmert_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/lxmert/${MODEL}/best
 
 python train_task.py \
-  --config_file configs/${MODEL}.json \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
   --from_pretrained ${PRETRAINED} \
-  --tasks_config_file config_tasks/all_tasks.yml --task 12 \
-  --vocab_file vocab/bert-base-uncased-vocab.txt \
-  --adam_epsilon 1e-6 --weight_decay 0.01 --clip_grad_norm 0.0 \
-  --warmup_proportion 0.1 --num_train_epochs 20 \
-  --output_dir save/nlvr2_${MODEL} --logdir logs/nlvr2_${MODEL}
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --adam_correct_bias --weight_decay 0.01 --warmup_proportion 0.1 --clip_grad_norm 5.0 \
+  --output_dir checkpoints/nlvr2/lxmert \
+  --logdir logs/nlvr2
+#  --resume_file checkpoints/nlvr2/lxmert/NLVR2_${MODEL}/ckpt

@@ -1,0 +1,17 @@
+#!/bin/bash
+# vilbert x refcoco fine-tuning
+# (hyperparameters per reference examples/vilbert/refcoco_unc/train.sh)
+
+TASK=9
+MODEL=vilbert_base
+TASKS_CONFIG=vilbert_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/vilbert/${MODEL}/best
+
+python train_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --weight_decay 0.01 --warmup_proportion 0.1 --clip_grad_norm 0.0 \
+  --output_dir checkpoints/refcoco_unc/vilbert \
+  --logdir logs/refcoco_unc
+#  --resume_file checkpoints/refcoco_unc/vilbert/refcoco_${MODEL}/ckpt

@@ -1,0 +1,17 @@
+#!/bin/bash
+# vl-bert x refcoco+ fine-tuning
+# (hyperparameters per reference examples/vl-bert/refcoco+_unc/train.sh)
+
+TASK=10
+MODEL=vl-bert_base
+TASKS_CONFIG=vl-bert_trainval_tasks
+PRETRAINED=checkpoints/conceptual_captions/vl-bert/${MODEL}/best
+
+python train_task.py \
+  --bert_model bert-base-uncased --config_file configs/${MODEL}.json \
+  --from_pretrained ${PRETRAINED} \
+  --tasks_config_file config_tasks/${TASKS_CONFIG}.yml --task $TASK \
+  --adam_epsilon 1e-6 --adam_betas 0.9 0.999 --adam_correct_bias --weight_decay 0.0001 --clip_grad_norm 1.0 --warmup_steps 500 \
+  --output_dir checkpoints/refcoco+_unc/vl-bert \
+  --logdir logs/refcoco+_unc
+#  --resume_file checkpoints/refcoco+_unc/vl-bert/refcoco+_${MODEL}/ckpt

@@ -53,6 +53,14 @@ def main():
             "features": row["features"].encode()
             if isinstance(row["features"], str) else row["features"],
         }
+        # detector side-channels (objects/attrs/cls_prob) ride along when the
+        # TSV carries them — the reference's per-dataset converters keep the
+        # whole row (reference: data/refcoco_unc/convert_refcoco_unc_dets36_lmdb.py)
+        for extra in ("objects_id", "objects_conf", "attrs_id", "attrs_conf",
+                      "cls_prob", "attrs", "classes"):
+            val = row.get(extra)
+            if val is not None:
+                rec[extra] = val.encode() if isinstance(val, str) else val
         items.append((key, pickle.dumps(rec)))
         keys.append(key)
     items.append((b"keys", pickle.dumps(keys)))

@@ -315,19 +315,128 @@ def import_state_dict(cfg: VoltaConfig, params: Any,
     return new_params, report
 
 
+def cached_path(url_or_filename: str,
+                cache_dir: Optional[str] = None) -> str:
+    """Resolve a local path, file:// URL, or http(s)/s3 URL to a local file
+    (reference: volta/utils.py:82-229).
+
+    Remote URLs are cached under ``cache_dir`` (default
+    ``~/.cache/volta_tpu``) keyed by a hash of the URL; an already-cached
+    file is returned without touching the network. In offline environments
+    the error names the exact cache path where the file can be placed
+    manually.
+    """
+    import hashlib
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url_or_filename)
+    if parsed.scheme in ("", "file"):
+        path = parsed.path if parsed.scheme == "file" else url_or_filename
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"file {path} not found")
+        return path
+    if parsed.scheme not in ("http", "https", "s3"):
+        raise ValueError(
+            f"unable to parse {url_or_filename} as a URL or local path")
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "volta_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    fname = hashlib.sha256(url_or_filename.encode()).hexdigest()
+    cache_path = os.path.join(cache_dir, fname)
+    meta_path = cache_path + ".json"
+    if os.path.exists(cache_path):
+        return cache_path
+
+    if parsed.scheme == "s3":
+        try:
+            import boto3  # noqa: F401
+        except ImportError as e:
+            raise OSError(
+                f"{url_or_filename} is an S3 URL but boto3 is unavailable; "
+                f"download it manually to {cache_path}") from e
+        bucket, key = parsed.netloc, parsed.path.lstrip("/")
+        boto3.resource("s3").Bucket(bucket).download_file(key, cache_path)
+    else:
+        import json as _json
+        import urllib.request
+
+        tmp = cache_path + ".tmp"
+        try:
+            with urllib.request.urlopen(url_or_filename, timeout=60) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(tmp, cache_path)
+            with open(meta_path, "w") as f:
+                _json.dump({"url": url_or_filename}, f)
+        except OSError as e:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise OSError(
+                f"could not download {url_or_filename} "
+                f"({e}); if this environment has no egress, place the file "
+                f"at {cache_path} manually") from e
+    return cache_path
+
+
+FLAX_WEIGHTS_NAME = "flax_model.msgpack"
+
+
+def save_pretrained(save_dir: str, cfg: VoltaConfig, params: Any) -> str:
+    """Write a reloadable model-only bundle: ``config.json`` + the param
+    pytree as msgpack (reference: volta/utils.py:250-305 save_pretrained,
+    minus torch). ``from_pretrained`` accepts the directory."""
+    from flax import serialization
+
+    os.makedirs(save_dir, exist_ok=True)
+    tree = params.get("params", params) if isinstance(params, dict) \
+        else params
+    tree = jax.tree.map(np.asarray, tree)
+    with open(os.path.join(save_dir, FLAX_WEIGHTS_NAME), "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json_string())
+    return save_dir
+
+
+def _load_flax_bundle(path: str, params: Any):
+    from flax import serialization
+
+    with open(os.path.join(path, FLAX_WEIGHTS_NAME), "rb") as f:
+        raw = f.read()
+    tree = params.get("params", params) if isinstance(params, dict) \
+        else params
+    restored = serialization.from_bytes(jax.tree.map(np.asarray, tree), raw)
+    if isinstance(params, dict) and set(params) == {"params"}:
+        return {"params": restored}
+    return restored
+
+
 def from_pretrained(cfg: VoltaConfig, params: Any, path: str, *,
-                    from_hf: bool = False) -> Tuple[Any, Dict[str, Any]]:
+                    from_hf: bool = False,
+                    cache_dir: Optional[str] = None
+                    ) -> Tuple[Any, Dict[str, Any]]:
     """Load pretrained weights onto ``params`` (a ``{"params": ...}``
     variables dict or bare param tree).
 
-    Accepts torch ``.bin`` state dicts (VOLTA or HF naming, auto-detected)
-    or an Orbax checkpoint directory written by this framework.
+    Accepts torch ``.bin`` state dicts (VOLTA or HF naming, auto-detected),
+    an Orbax checkpoint directory, a ``save_pretrained`` bundle, or an
+    http(s)/s3 URL to a ``.bin`` (resolved through ``cached_path``).
     """
-    if os.path.isdir(path) and not os.path.exists(
-            os.path.join(path, "data.mdb")):
-        restored = _restore_raw(path)
-        new = _overlay_params(params, restored)
-        return new, {"loaded": ["<orbax>"], "skipped": [], "unused": []}
+    if "://" in path or path.startswith("http"):
+        path = cached_path(path, cache_dir)
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, FLAX_WEIGHTS_NAME)):
+            return _load_flax_bundle(path, params), {
+                "loaded": ["<flax-bundle>"], "skipped": [], "unused": []}
+        if not os.path.exists(os.path.join(path, "data.mdb")):
+            restored = _restore_raw(path)
+            new = _overlay_params(params, restored)
+            return new, {"loaded": ["<orbax>"], "skipped": [], "unused": []}
     sd = load_torch_state_dict(path)
     if not from_hf:
         # auto-detect HF BERT checkpoints by their layer naming

@@ -118,6 +118,21 @@ def cache_pickle(path: str, builder):
     return entries
 
 
+def cached_entries(dataroot, task, split, bert_model, max_seq_length,
+                   builder):
+    """Tokenised-entry cache under ``dataroot/cache`` keyed by task, split,
+    tokenizer family and sequence length (the reference caches most
+    datasets this way, e.g. retrieval_dataset.py:123-139). Falls back to
+    in-memory building when the dataroot is read-only."""
+    suffix = "_roberta" if "roberta" in (bert_model or "") else ""
+    path = os.path.join(dataroot, "cache",
+                        f"{task}_{split}{suffix}_{max_seq_length}.pkl")
+    try:
+        return cache_pickle(path, builder)
+    except OSError:
+        return builder()
+
+
 def read_jsonlines(path: str):
     with open(path, "r", encoding="utf-8") as f:
         for line in f:

@@ -10,7 +10,7 @@ import os
 
 import numpy as np
 
-from .base import VLDataset, read_jsonlines
+from .base import VLDataset, cached_entries, read_jsonlines
 
 LABEL_MAP = {"Yes": 0, "No": 1, "N/A": 2}
 
@@ -29,14 +29,20 @@ class GuessWhatDataset(VLDataset):
         self.num_labels = 3
         path = annotations_jsonpath or os.path.join(
             dataroot, f"guesswhat.{split}.jsonl")
-        self.entries = []
-        for ann in read_jsonlines(path):
-            for q in ann["qas"]:
-                qt, m, s = self._text(q["question"])
-                self.entries.append(dict(
-                    question_id=q["id"], image_id=ann["image"]["id"],
-                    label=LABEL_MAP[str(q["answer"])],
-                    q_tokens=qt, q_mask=m, q_seg=s))
+
+        def build():
+            entries = []
+            for ann in read_jsonlines(path):
+                for q in ann["qas"]:
+                    qt, m, s = self._text(q["question"])
+                    entries.append(dict(
+                        question_id=q["id"], image_id=ann["image"]["id"],
+                        label=LABEL_MAP[str(q["answer"])],
+                        q_tokens=qt, q_mask=m, q_seg=s))
+            return entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     def __getitem__(self, index):
         e = self.entries[index]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import VLDataset, read_jsonlines
+from .base import VLDataset, cached_entries, read_jsonlines
 import os
 
 
@@ -28,16 +28,22 @@ class NLVR2Dataset(VLDataset):
         self.num_labels = 2
         path = annotations_jsonpath or os.path.join(dataroot,
                                                     f"{split}.json")
-        self.entries = []
-        for count, ann in enumerate(read_jsonlines(path)):
-            base = "-".join(ann["identifier"].split("-")[:-1])
-            q, m, s = self._text(str(ann["sentence"]))
-            self.entries.append(dict(
-                question_id=count,
-                image_id_0=base + "-img0",
-                image_id_1=base + "-img1",
-                label=0 if str(ann["label"]) == "False" else 1,
-                q_tokens=q, q_mask=m, q_seg=s))
+
+        def build():
+            entries = []
+            for count, ann in enumerate(read_jsonlines(path)):
+                base = "-".join(ann["identifier"].split("-")[:-1])
+                q, m, s = self._text(str(ann["sentence"]))
+                entries.append(dict(
+                    question_id=count,
+                    image_id_0=base + "-img0",
+                    image_id_1=base + "-img1",
+                    label=0 if str(ann["label"]) == "False" else 1,
+                    q_tokens=q, q_mask=m, q_seg=s))
+            return entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     def __getitem__(self, index):
         e = self.entries[index]

@@ -99,25 +99,34 @@ class Visual7wPointingDataset(_PointingBase):
                          add_global_imgfeat, append_mask_sep,
                          gt_image_features_reader)
         self.split = split
-        data = json.load(open(os.path.join(dataroot, "dataset.json")))
-        boxes_dict = {b["box_id"]: [b["x"], b["y"], b["x"] + b["width"],
-                                    b["y"] + b["height"]]
-                      for b in data["boxes"]}
-        self.entries = []
-        for img in data["images"]:
-            if img["split"] != split:
-                continue
-            union = sorted({b for qa in img["qa_pairs"]
-                            for b in qa["multiple_choices"] + [qa["answer"]]})
-            for qa in img["qa_pairs"]:
-                cand = sorted(qa["multiple_choices"] + [qa["answer"]])
-                mc_idx = [union.index(b) for b in cand]
-                q, m, s = self._text(qa["question"])
-                self.entries.append(dict(
-                    question_id=qa["qa_id"], image_id=img["image_id"],
-                    ref_box=boxes_dict[qa["answer"]],
-                    mc_idx=np.asarray(mc_idx, np.int32),
-                    q_tokens=q, q_mask=m, q_seg=s))
+
+        def build():
+            data = json.load(open(os.path.join(dataroot, "dataset.json")))
+            boxes_dict = {b["box_id"]: [b["x"], b["y"], b["x"] + b["width"],
+                                        b["y"] + b["height"]]
+                          for b in data["boxes"]}
+            entries = []
+            for img in data["images"]:
+                if img["split"] != split:
+                    continue
+                union = sorted({b for qa in img["qa_pairs"]
+                                for b in qa["multiple_choices"]
+                                + [qa["answer"]]})
+                for qa in img["qa_pairs"]:
+                    cand = sorted(qa["multiple_choices"] + [qa["answer"]])
+                    mc_idx = [union.index(b) for b in cand]
+                    q, m, s = self._text(qa["question"])
+                    entries.append(dict(
+                        question_id=qa["qa_id"], image_id=img["image_id"],
+                        ref_box=boxes_dict[qa["answer"]],
+                        mc_idx=np.asarray(mc_idx, np.int32),
+                        q_tokens=q, q_mask=m, q_seg=s))
+            return entries
+
+        from .base import cached_entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     def __getitem__(self, index):
         e = self.entries[index]
@@ -147,36 +156,44 @@ class GuessWhatPointingDataset(_PointingBase):
             if os.path.exists(bbox_list_p) else None
         boxes_dict = pickle.load(open(boxes_dict_p, "rb")) \
             if os.path.exists(boxes_dict_p) else None
-        from .base import read_jsonlines
-        self.entries = []
-        for ann in read_jsonlines(path):
-            dialog = " ".join(
-                f"{q['question']} {q['answer']}" for q in ann["qas"])
-            obj_ids = sorted(o["id"] for o in ann["objects"])
-            if all_images is not None:
-                union = sorted(set(all_images[ann["image"]["id"]]["bboxes"]))
-                mc_idx = [union.index(o) for o in obj_ids]
-            else:
-                mc_idx = list(range(len(obj_ids)))
-            if boxes_dict is not None:
-                ref = boxes_dict[ann["object_id"]]
-            else:
-                obj = next(o for o in ann["objects"]
-                           if o["id"] == ann["object_id"])
-                bb = obj["bbox"]
-                ref = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
-            q, m, s = self._text(dialog)
-            self.entries.append(dict(
-                question_id=ann["id"], image_id=ann["image"]["id"],
-                ref_box=ref, mc_idx=np.asarray(mc_idx, np.int32),
-                q_tokens=q, q_mask=m, q_seg=s))
+        from .base import cached_entries, read_jsonlines
+
+        def build():
+            entries = []
+            for ann in read_jsonlines(path):
+                dialog = " ".join(
+                    f"{q['question']} {q['answer']}" for q in ann["qas"])
+                obj_ids = sorted(o["id"] for o in ann["objects"])
+                if all_images is not None:
+                    union = sorted(
+                        set(all_images[ann["image"]["id"]]["bboxes"]))
+                    mc_idx = [union.index(o) for o in obj_ids]
+                else:
+                    mc_idx = list(range(len(obj_ids)))
+                if boxes_dict is not None:
+                    ref = boxes_dict[ann["object_id"]]
+                else:
+                    obj = next(o for o in ann["objects"]
+                               if o["id"] == ann["object_id"])
+                    bb = obj["bbox"]
+                    ref = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
+                q, m, s = self._text(dialog)
+                entries.append(dict(
+                    question_id=ann["id"], image_id=ann["image"]["id"],
+                    ref_box=ref, mc_idx=np.asarray(mc_idx, np.int32),
+                    q_tokens=q, q_mask=m, q_seg=s))
+            max_mc = max((len(e["mc_idx"]) for e in entries), default=1)
+            for e in entries:
+                pad = max_mc - len(e["mc_idx"])
+                if pad:
+                    e["mc_idx"] = np.concatenate(
+                        [e["mc_idx"], np.zeros((pad,), np.int32)])
+            return entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
         self._max_mc = max((len(e["mc_idx"]) for e in self.entries),
                            default=1)
-        for e in self.entries:
-            pad = self._max_mc - len(e["mc_idx"])
-            if pad:
-                e["mc_idx"] = np.concatenate(
-                    [e["mc_idx"], np.zeros((pad,), np.int32)])
 
     def __getitem__(self, index):
         e = self.entries[index]
@@ -238,23 +255,32 @@ class FlickrGroundingDataset(_PointingBase):
                          gt_image_features_reader if split == "train"
                          else None)
         self.split = split
-        with open(os.path.join(dataroot, f"{split}.txt")) as f:
-            images = f.read().splitlines()
-        self.entries = []
-        for img in images:
-            ann = parse_flickr_annotation(
-                os.path.join(dataroot, "Annotations", img + ".xml"))
-            with open(os.path.join(dataroot, "Sentences", img + ".txt")) as f:
-                for line in f:
-                    sent = parse_flickr_sentence(line.strip())
-                    for ph in sent["phrases"]:
-                        if str(ph["phrase_id"]) in ann:
-                            q, m, s = self._text(ph["phrase"])
-                            self.entries.append(dict(
-                                question_id=int(ph["phrase_id"]),
-                                image_id=int(img),
-                                ref_box=ann[str(ph["phrase_id"])][0],
-                                q_tokens=q, q_mask=m, q_seg=s))
+
+        def build():
+            with open(os.path.join(dataroot, f"{split}.txt")) as f:
+                images = f.read().splitlines()
+            entries = []
+            for img in images:
+                ann = parse_flickr_annotation(
+                    os.path.join(dataroot, "Annotations", img + ".xml"))
+                with open(os.path.join(dataroot, "Sentences",
+                                       img + ".txt")) as f:
+                    for line in f:
+                        sent = parse_flickr_sentence(line.strip())
+                        for ph in sent["phrases"]:
+                            if str(ph["phrase_id"]) in ann:
+                                q, m, s = self._text(ph["phrase"])
+                                entries.append(dict(
+                                    question_id=int(ph["phrase_id"]),
+                                    image_id=int(img),
+                                    ref_box=ann[str(ph["phrase_id"])][0],
+                                    q_tokens=q, q_mask=m, q_seg=s))
+            return entries
+
+        from .base import cached_entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     def __getitem__(self, index):
         e = self.entries[index]

@@ -50,9 +50,17 @@ class ReferExpressionDataset(VLDataset):
         self.split = split
         self.num_labels = 1
         split_by = "umd" if task == "refcocog" else "unc"
-        self.entries = self._load_refer(dataroot, task, split_by, split)
-        for e in self.entries:
-            e["q_tokens"], e["q_mask"], e["q_seg"] = self._text(e["caption"])
+        def build():
+            entries = self._load_refer(dataroot, task, split_by, split)
+            for e in entries:
+                e["q_tokens"], e["q_mask"], e["q_seg"] = \
+                    self._text(e["caption"])
+            return entries
+
+        from .base import cached_entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     @staticmethod
     def _load_refer(dataroot, dataset, split_by, split):

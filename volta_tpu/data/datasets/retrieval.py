@@ -13,7 +13,7 @@ import pickle
 import random
 import numpy as np
 
-from .base import VLDataset, read_jsonlines
+from .base import VLDataset, cached_entries, read_jsonlines
 
 
 def _image_id(ann, task):
@@ -47,8 +47,17 @@ class RetrievalDataset(VLDataset):
                          gt_image_features_reader)
         self.task, self.split = task, split
         self.num_labels = 1
-        self.entries, self.imgid2entry = _load_annotations(
-            annotations_jsonpath, task)
+
+        def build():
+            entries, imgid2entry = _load_annotations(
+                annotations_jsonpath, task)
+            for e in entries:
+                e["q_tokens"], e["q_mask"], e["q_seg"] = \
+                    self._text(e["caption"])
+            return entries, imgid2entry
+
+        self.entries, self.imgid2entry = cached_entries(
+            dataroot, task, split, bert_model, max_seq_length, build)
         self.image_id_list = list(self.imgid2entry)
         self._rng = random.Random(seed)
 
@@ -64,9 +73,6 @@ class RetrievalDataset(VLDataset):
             self.train_imgid2pool = {
                 image_id: i for i, image_id in
                 enumerate(self.train_image_list)}
-
-        for e in self.entries:
-            e["q_tokens"], e["q_mask"], e["q_seg"] = self._text(e["caption"])
 
     def _rand_other_image(self, image_id):
         while True:

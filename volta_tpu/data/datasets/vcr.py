@@ -18,7 +18,7 @@ import random
 
 import numpy as np
 
-from .base import VLDataset, pad_tokens, read_jsonlines
+from .base import VLDataset, cached_entries, pad_tokens, read_jsonlines
 
 
 def _conv_id(img_id: str) -> int:
@@ -50,25 +50,30 @@ class VCRDataset(VLDataset):
         if not self._names:
             self._names = ["Casey", "Riley", "Jordan", "Taylor"]
 
-        self.entries = []
-        for ann in read_jsonlines(annotations_jsonpath):
-            label_key = "answer_label" if task == "VCR_Q-A" else \
-                "rationale_label"
-            target = 0 if split == "test" else ann[label_key]
-            if task == "VCR_Q-A":
-                context = ann["question"]
-                options = ann["answer_choices"]
-            else:
-                right = ann["answer_choices"][ann.get("answer_label", 0)] \
-                    if split != "test" else ann["answer_choices"][0]
-                context = ann["question"] + right
-                options = ann["rationale_choices"]
-            self.entries.append(dict(
-                context=context, options=options, target=target,
-                metadata_fn=ann["metadata_fn"],
-                img_id=_conv_id(ann["img_id"]),
-                anno_id=int(ann["annot_id"].split("-")[1])))
-        self._tokenize_all()
+        def build():
+            self.entries = []
+            for ann in read_jsonlines(annotations_jsonpath):
+                label_key = "answer_label" if task == "VCR_Q-A" else \
+                    "rationale_label"
+                target = 0 if split == "test" else ann[label_key]
+                if task == "VCR_Q-A":
+                    context = ann["question"]
+                    options = ann["answer_choices"]
+                else:
+                    right = ann["answer_choices"][ann.get("answer_label", 0)] \
+                        if split != "test" else ann["answer_choices"][0]
+                    context = ann["question"] + right
+                    options = ann["rationale_choices"]
+                self.entries.append(dict(
+                    context=context, options=options, target=target,
+                    metadata_fn=ann["metadata_fn"],
+                    img_id=_conv_id(ann["img_id"]),
+                    anno_id=int(ann["annot_id"].split("-")[1])))
+            self._tokenize_all()
+            return self.entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     # ---------------------------------------------------------- tokenizing
     def _names_for(self, metadata_fn):

@@ -12,7 +12,7 @@ from collections import Counter
 
 import numpy as np
 
-from .base import VLDataset, read_jsonlines
+from .base import VLDataset, cached_entries, read_jsonlines
 
 LABEL_MAP = {"contradiction": 0, "neutral": 1, "entailment": 2}
 
@@ -31,15 +31,21 @@ class VisualEntailmentDataset(VLDataset):
         self.num_labels = 3
         path = annotations_jsonpath or os.path.join(
             dataroot, f"snli_ve_{split}.jsonl")
-        self.entries = []
-        for count, ann in enumerate(read_jsonlines(path)):
-            labels, scores = self._soft_labels(ann)
-            q, m, s = self._text(str(ann["sentence2"]))
-            self.entries.append(dict(
-                question_id=count,
-                image_id=int(ann["Flickr30K_ID"]),
-                labels=labels, scores=scores,
-                q_tokens=q, q_mask=m, q_seg=s))
+
+        def build():
+            entries = []
+            for count, ann in enumerate(read_jsonlines(path)):
+                labels, scores = self._soft_labels(ann)
+                q, m, s = self._text(str(ann["sentence2"]))
+                entries.append(dict(
+                    question_id=count,
+                    image_id=int(ann["Flickr30K_ID"]),
+                    labels=labels, scores=scores,
+                    q_tokens=q, q_mask=m, q_seg=s))
+            return entries
+
+        self.entries = cached_entries(dataroot, task, split, bert_model,
+                                      max_seq_length, build)
 
     @staticmethod
     def _soft_labels(ann):
