@@ -199,6 +199,36 @@ def test_device_store_step_matches_dense(tmp_path):
                                    err_msg=str(pa))
 
 
+def test_concap_device_store_matches_packed(tmp_path):
+    """CC device-store path (host mask draws + on-device gather/zero/
+    co-mask/global-mean) must reproduce the packed host batch exactly."""
+    from volta_tpu.parallel.train_step import materialize_cc_store_batch
+
+    ds = _make_cc(str(tmp_path), n=24)
+    ds.enable_packed(cache=False)
+    ds.set_epoch(3)
+    idx = np.array([4, 19, 7, 0])
+    want = ds.get_batch(idx)
+    ds.enable_device_store()
+    small = ds.get_batch(idx)
+    assert "image_feat" not in small and "mrm_mask" in small
+    store = ds.device_store_arrays()
+    got = materialize_cc_store_batch(store, small, ds_cfg(ds))
+    for key in want:
+        np.testing.assert_allclose(
+            np.asarray(got[key], np.float32),
+            np.asarray(want[key], np.float32), rtol=1e-6, atol=1e-6,
+            err_msg=key)
+
+
+def ds_cfg(ds):
+    """Minimal cfg view for materialize_cc_store_batch."""
+    class C:
+        add_global_imgfeat = ds.add_global_imgfeat
+        num_locs = ds.num_locs
+    return C
+
+
 def test_proc_workers_match_threads(vqa_ds):
     loader_t = DataLoader(vqa_ds, 4, shuffle=True, seed=2, drop_last=True,
                           num_workers=2)

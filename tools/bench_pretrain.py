@@ -40,6 +40,9 @@ def main():
     p.add_argument("--targets", nargs="*", default=["kl", "nce"])
     p.add_argument("--objective", type=int, default=0)
     p.add_argument("--skip_loader", action="store_true")
+    p.add_argument("--device_store", action="store_true",
+                   help="features/targets resident in HBM; loader ships "
+                        "indices + mask draws only")
     args = p.parse_args()
 
     import jax
@@ -67,10 +70,16 @@ def main():
         add_global_imgfeat=base.add_global_imgfeat, packed=True,
         feat_dtype="bfloat16")
     it = iter(loader)
-    host_batch = next(it)
+    host_batch = next(it)  # dense: used for model init
 
     mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
     n_dev = len(jax.devices())
+    store = None
+    if args.device_store:
+        ds.enable_device_store()
+        store = jax.device_put(ds.device_store_arrays(), jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        it = iter(loader)  # small batches from here on
 
     for tgt in args.targets:
         cfg = VoltaConfig.from_json_file(args.config)
@@ -88,8 +97,10 @@ def main():
         state = jax.device_put(state, jax.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
         step = make_pretrain_step(model, tx, cfg,
-                                  objective=args.objective, mesh=mesh)
-        batch = shard_batch(mesh, host_batch)
+                                  objective=args.objective, mesh=mesh,
+                                  store=store)
+        batch = shard_batch(mesh, ds.get_batch(np.arange(args.batch_size))
+                            if store is not None else host_batch)
         for _ in range(2):  # compile + donation warmup
             state, m = step(state, batch)
             _ = float(m["loss"])

@@ -138,6 +138,33 @@ def gen_vqa(args):
           flush=True)
 
 
+def gen_gqa(args):
+    """GQA-layout annotations over an existing features LMDB (string
+    question ids, dict-form questions json) — reuses the image ids of a
+    ``vqa`` run's store via --features."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    num_labels = args.num_labels
+    questions = {}
+    for q in range(args.questions):
+        iid = 1000000 + int(rng.randint(args.images))
+        words = [WORD_STEMS[int(j)] for j in
+                 rng.randint(0, len(WORD_STEMS), rng.randint(4, 9))]
+        questions[f"g{q:07d}"] = {
+            "imageId": iid,
+            "question": "what is the " + " ".join(words) + " ?",
+            "answer": f"answer{int(rng.randint(num_labels))}"}
+    with open(os.path.join(args.out, "train_questions.json"), "w") as f:
+        json.dump(questions, f)
+    import pickle
+    with open(os.path.join(args.out, "trainval_ans2label.pkl"), "wb") as f:
+        pickle.dump({f"answer{i}": i for i in range(num_labels)}, f)
+    with open(os.path.join(args.out, "trainval_label2ans.pkl"), "wb") as f:
+        pickle.dump([f"answer{i}" for i in range(num_labels)], f)
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"gqa synth done -> {args.out}", flush=True)
+
+
 def gen_cc(args):
     from volta_tpu.data import lmdbx, serialization
 
@@ -195,7 +222,7 @@ def gen_cc(args):
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("vqa", "cc"):
+    for name in ("vqa", "cc", "gqa"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -205,8 +232,11 @@ def main():
         if name == "vqa":
             sp.add_argument("--questions", type=int, default=60000)
             sp.add_argument("--num_labels", type=int, default=3129)
+        if name == "gqa":
+            sp.add_argument("--questions", type=int, default=40000)
+            sp.add_argument("--num_labels", type=int, default=1843)
     args = p.parse_args()
-    (gen_vqa if args.cmd == "vqa" else gen_cc)(args)
+    {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa}[args.cmd](args)
 
 
 if __name__ == "__main__":

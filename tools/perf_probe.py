@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Backward-pass ablation probe on real hardware (VERDICT #3).
+
+Splits the headline VQA train step (b256 seq23 37r bf16) into
+  fwd-eval | fwd-train (dropout) | fwd+bwd | full step (+AdamW)
+and compares remat variants, printing one JSON line each.
+
+Usage (single TPU process): python tools/perf_probe.py [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, sync, iters):
+    fn()  # compile
+    sync()
+    fn()
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--variants", nargs="*", default=["base", "remat_ff"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
+    from volta_tpu.parallel import (create_train_state, make_mesh,
+                                    make_task_train_step, shard_batch)
+    from __graft_entry__ import _flagship, _task_cfg, _vqa_batch
+
+    b, l, k = 256, 23, 37
+    task_cfg = _task_cfg()
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+
+    for variant in args.variants:
+        cfg = _flagship()
+        if variant == "remat_ff":
+            cfg.remat_ff = True
+        model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
+        batch = _vqa_batch(cfg, b, l, k)
+        params = jax.jit(lambda r: model.init(
+            r, batch["question"], batch["features"], batch["spatials"],
+            "TASK1", batch["segment_ids"], batch["input_mask"],
+            batch["image_mask"]))(jax.random.PRNGKey(0))["params"]
+        sharded = shard_batch(mesh, batch)
+
+        def fwd(params, deterministic, rng):
+            pred, _ = model.apply(
+                {"params": params}, batch["question"], batch["features"],
+                batch["spatials"], "TASK1", batch["segment_ids"],
+                batch["input_mask"], batch["image_mask"],
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": rng})
+            tgt = jnp.asarray(batch["target"])
+            per = jnp.maximum(pred, 0) - pred * tgt + \
+                jnp.log1p(jnp.exp(-jnp.abs(pred)))
+            return jnp.mean(per)
+
+        rng = jax.random.PRNGKey(2)
+        fwd_eval = jax.jit(lambda p: fwd(p, True, rng))
+        fwd_train = jax.jit(lambda p: fwd(p, False, rng))
+        def _grad_probe(p):
+            g = jax.grad(lambda q: fwd(q, False, rng))(p)
+            return jax.tree_util.tree_leaves(g)[0].ravel()[0]
+
+        grad_fn = jax.jit(_grad_probe)
+
+        tx = build_optimizer("adamw", warmup_linear_schedule(4e-5, 100, 1e4),
+                             params, clip_norm=1.0)
+        state = create_train_state(jax.random.PRNGKey(1), params, tx)
+        step = make_task_train_step(model, tx, task_cfg, "TASK1", mesh=mesh)
+
+        sync = lambda x=None: (float(x) if x is not None else None)
+        res = {}
+        res["fwd_eval_ms"] = timeit(
+            lambda: fwd_eval(params), sync, args.iters)
+        res["fwd_train_ms"] = timeit(
+            lambda: fwd_train(params), sync, args.iters)
+        res["fwd_bwd_ms"] = timeit(
+            lambda: grad_fn(params), sync, args.iters)
+
+        holder = {"s": state}
+
+        def one_step():
+            holder["s"], m = step(holder["s"], sharded)
+            return m
+
+        m = one_step()  # compile + donation warmup
+        float(m["loss"])
+        m = one_step()
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            m = one_step()
+        float(m["loss"])
+        res["full_step_ms"] = (time.perf_counter() - t0) / args.iters * 1000
+        res["pairs_per_sec"] = round(b / res["full_step_ms"] * 1000, 1)
+        print(json.dumps({"variant": variant,
+                          **{k2: round(v, 2) for k2, v in res.items()}}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--in_memory", default=False, type=bool)
+    p.add_argument("--num_worker_procs", type=int, default=0,
+                   help="forked decode processes (multi-core hosts)")
+    p.add_argument("--device_store", action="store_true",
+                   help="keep packed features in device HBM; ship indices "
+                        "+ sparse targets per step (implies --in_memory)")
     # Optimization
     p.add_argument("--optim", default="AdamW", type=str)
     p.add_argument("--adam_epsilon", default=1e-6, type=float)
@@ -187,7 +192,22 @@ def main():
         start_epoch = int(step) // max(steps_per_epoch, 1)
         logger.info("resumed from step %d (epoch %d)", step, start_epoch)
 
-    train_step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh)
+    store = None
+    train_ds = data["train_dataset"]
+    if args.device_store and hasattr(train_ds, "enable_device_store"):
+        # keep the packed feature arrays resident in HBM; batches carry row
+        # indices + sparse targets (see parallel/train_step.py). Wins when
+        # the host->device link is slower than HBM gathers.
+        train_ds.enable_device_store(
+            feat_dtype=("bfloat16" if args.compute_dtype == "bfloat16"
+                        else "float32"))
+        store = jax.device_put(train_ds.device_store_arrays(),
+                               replicated(mesh))
+        logger.info("device-resident feature store: %.2f GiB in HBM",
+                    sum(np.asarray(v).nbytes
+                        for v in store.values()) / 2**30)
+    train_step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh,
+                                      store=store)
     eval_step = make_task_eval_step(model, task_cfg, task, mesh=mesh)
 
 

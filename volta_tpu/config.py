@@ -97,6 +97,12 @@ class VoltaConfig:
     # (remote-compile overhead dominates) and ~26% slower steps, so off by
     # default — useful only when trace size/memory is the constraint.
     use_scan: bool = False
+    # Rematerialise the feed-forward sublayers in the backward pass
+    # (recompute the up-projection + GELU instead of saving the [B, L, 4H]
+    # activation). Never applied to the dropout-attention kernel — its
+    # Mosaic PRNG draws are not reproducible across recompilations, so
+    # recompute there would decorrelate the mask from the forward pass.
+    remat_ff: bool = False
 
     _KNOWN = None  # populated below
 

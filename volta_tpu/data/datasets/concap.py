@@ -323,7 +323,10 @@ class ConceptCapDataset:
             self._pool_toks = self._pool_lens = None
         self.get_batch = self._get_packed_batch
 
-    def _get_packed_batch(self, idx):
+    def _host_masking(self, idx):
+        """Shared host-side randomness for the packed and device-store
+        paths: ITM caption swap, MLM token masking, MRM mask draws —
+        identical RNG stream so the two paths produce identical batches."""
         idx = np.asarray(idx, np.int64)
         b = len(idx)
         R, L2, S = self.region_len, self.seq_len - 2, self.seq_len
@@ -373,6 +376,19 @@ class ConceptCapDataset:
         prr = rng.rand(b, R)
         do_r = (prr < 0.15) & valid_r & (not self.visualization)
         zero = do_r & (prr / 0.15 < 0.9)
+        return dict(idx=idx, input_ids=input_ids, input_mask=input_mask,
+                    lm_labels=lm_labels, is_match=is_match, do_r=do_r,
+                    zero=zero, valid_r=valid_r)
+
+    def _get_packed_batch(self, idx):
+        h = self._host_masking(idx)
+        idx = h["idx"]
+        b = len(idx)
+        R, S = self.region_len, self.seq_len
+        p = self._p
+        input_ids, input_mask = h["input_ids"], h["input_mask"]
+        lm_labels, is_match = h["lm_labels"], h["is_match"]
+        do_r, zero, valid_r = h["do_r"], h["zero"], h["valid_r"]
         feat = np.asarray(p["feat"][idx])
         feat = feat * (~zero[:, :, None]).astype(feat.dtype)
         image_label = np.where(do_r, 1, -1).astype(np.int64)
@@ -414,6 +430,42 @@ class ConceptCapDataset:
             out_batch["image_loc"] = np.concatenate(order[1], 1)
             out_batch["image_mask"] = np.concatenate(order[2], 1)
         return out_batch
+
+    # ------------------------------------------------- device-resident mode
+    def enable_device_store(self, **packed_kwargs):
+        """Region features / soft targets / overlap matrices live in device
+        HBM; per-step host->device traffic shrinks to token ids and mask
+        draws (~100 KB instead of ~135 MB at b512). Feature zeroing, the
+        overlap co-mask, and the global mean run inside the jitted step
+        (parallel.train_step.materialize_cc_store_batch)."""
+        if not hasattr(self, "_p"):
+            self.enable_packed(**packed_kwargs)
+        self.get_batch = self._get_store_batch
+
+    def device_store_arrays(self):
+        p = self._p
+        return {"feat": np.asarray(p["feat"]),
+                "cls": np.asarray(p["cls"]),
+                "loc": np.asarray(p["loc"]),
+                "nb": np.asarray(p["nb"], np.int32),
+                "ovl": np.asarray(p["ovl"]),
+                "obj_l": np.asarray(p["obj_l"], np.int32),
+                "obj_c": np.asarray(p["obj_c"]),
+                "attr_l": np.asarray(p["attr_l"], np.int32),
+                "attr_c": np.asarray(p["attr_c"])}
+
+    def _get_store_batch(self, idx):
+        h = self._host_masking(idx)
+        return {
+            "store_rows": h["idx"].astype(np.int32),
+            "input_ids": h["input_ids"],
+            "input_mask": h["input_mask"],
+            "segment_ids": np.zeros_like(h["input_ids"]),
+            "lm_label_ids": h["lm_labels"].astype(np.int32),
+            "is_match": h["is_match"],
+            "mrm_mask": h["do_r"],
+            "mrm_zero": h["zero"],
+        }
 
 
 def make_concap_loader(features_path: str, annotations_path: str, tokenizer,

@@ -344,6 +344,22 @@ def _fused_ff_block(p, x, hkey, *, cfg, deterministic):
     return _ln_p(p["out_ln"], o + x.astype(dt))
 
 
+def _ff_fused_call(layer, x, deterministic):
+    return layer.fused(x, deterministic=deterministic)
+
+
+def _ff_dual_call(layer, t, v, deterministic):
+    return layer(t, v, deterministic=deterministic)
+
+
+# FF sublayers recomputed in the backward instead of saving the [B, L, 4H]
+# activations (cfg.remat_ff). Attention sublayers are never rematted: the
+# in-kernel-dropout Pallas kernel's Mosaic PRNG is not reproducible across
+# recompilations (see CLAUDE.md), so recompute would decorrelate the mask.
+_ff_fused_remat = nn.remat(_ff_fused_call, static_argnums=(2,))
+_ff_dual_remat = nn.remat(_ff_dual_call, static_argnums=(3,))
+
+
 class GatedEncoder(nn.Module):
     """Depth-D stack dispatching attn vs ff per the static plan
     (reference: volta/encoders.py:820-888)."""
@@ -381,6 +397,8 @@ class GatedEncoder(nn.Module):
                         if isinstance(layer, GatedAttentionSublayer):
                             x = layer.fused(x, bias,
                                             deterministic=deterministic)
+                        elif self.cfg.remat_ff:
+                            x = _ff_fused_remat(layer, x, deterministic)
                         else:
                             x = layer.fused(x, deterministic=deterministic)
             return x[:, : t.shape[1]], x[:, t.shape[1]:], ([], [], [])
@@ -394,6 +412,8 @@ class GatedEncoder(nn.Module):
                                         output_probs=output_probs)
                     if output_probs:
                         all_probs.append(probs)
+                elif self.cfg.remat_ff:
+                    t, v = _ff_dual_remat(layer, t, v, deterministic)
                 else:
                     t, v = layer(t, v, deterministic=deterministic)
             if output_all_layers:

@@ -133,14 +133,68 @@ def make_task_eval_step(model, task_cfg: Dict, task_id: str, mesh=None
 
 
 # -------------------------------------------------------------- pretraining
+def materialize_cc_store_batch(store: Dict, batch: Dict, cfg) -> Dict:
+    """Expand a CC device-store mini-batch: gather features/targets from
+    HBM, apply the host-drawn MRM masks, compute the overlap co-mask and
+    the global mean feature on device. Mirrors
+    ConceptCapDataset._get_packed_batch exactly (equivalence-tested)."""
+    rows = batch["store_rows"]
+    do_r = batch["mrm_mask"]
+    zero = batch["mrm_zero"]
+    feat = jnp.take(store["feat"], rows, axis=0)
+    feat = feat * (~zero[:, :, None]).astype(feat.dtype)
+    nb = jnp.take(store["nb"], rows, axis=0)
+    R = feat.shape[1]
+    valid_r = jnp.arange(R)[None, :] < nb[:, None]
+    ovl = jnp.take(store["ovl"], rows, axis=0)
+    masked_lbl = (do_r[:, :, None] & ovl).any(axis=1)
+    loc = jnp.take(store["loc"], rows, axis=0)
+    image_mask = valid_r.astype(jnp.int32)
+
+    full = {k: v for k, v in batch.items()
+            if k not in ("store_rows", "mrm_mask", "mrm_zero")}
+    full["image_label"] = jnp.where(do_r, 1, -1).astype(jnp.int32)
+    full["image_cls"] = jnp.take(store["cls"], rows, axis=0)
+    full["obj_labels"] = jnp.take(store["obj_l"], rows, axis=0)
+    full["obj_confs"] = jnp.take(store["obj_c"], rows, axis=0)
+    full["attr_labels"] = jnp.take(store["attr_l"], rows, axis=0)
+    full["attr_confs"] = jnp.take(store["attr_c"], rows, axis=0)
+    full["image_id"] = rows
+
+    if cfg.add_global_imgfeat:
+        b = feat.shape[0]
+        count = jnp.maximum((valid_r & ~masked_lbl).sum(1), 1)[:, None]
+        g_feat = (feat.astype(jnp.float32).sum(1)
+                  / count).astype(feat.dtype)[:, None]
+        g_loc = jnp.tile(jnp.asarray(
+            [[[0, 0, 1, 1] + [1] * (cfg.num_locs - 4)]], jnp.float32),
+            (b, 1, 1))
+        g_mask = jnp.ones((b, 1), jnp.int32)
+        order = ((g_feat, feat), (g_loc, loc), (g_mask, image_mask)) \
+            if cfg.add_global_imgfeat == "first" else \
+            ((feat, g_feat), (loc, g_loc), (image_mask, g_mask))
+        full["image_feat"] = jnp.concatenate(order[0], 1)
+        full["image_loc"] = jnp.concatenate(order[1], 1)
+        full["image_mask"] = jnp.concatenate(order[2], 1)
+    else:
+        full["image_feat"] = feat
+        full["image_loc"] = loc
+        full["image_mask"] = image_mask
+    return full
+
+
 def make_pretrain_step(model, tx, cfg, objective: int = 0, mesh=None,
-                       donate: bool = True) -> Callable:
+                       donate: bool = True, store: Dict = None) -> Callable:
     """CC pretraining step: MLM + masked-region + ITM
     (reference: train_concap.py:269-311, incl. the objective-1 label masking
-    at train_concap.py:279-284 and objective-2 ITM zeroing)."""
+    at train_concap.py:279-284 and objective-2 ITM zeroing). With ``store``
+    (device-resident packed CC arrays), batches carry indices + host mask
+    draws instead of dense features/targets."""
 
-    def step_fn(state: TrainState, batch: Dict):
+    def step_fn(state: TrainState, store_arg: Dict, batch: Dict):
         rng, dropout_rng, nce_rng = jax.random.split(state.rng, 3)
+        if store_arg is not None:
+            batch = materialize_cc_store_batch(store_arg, batch, cfg)
 
         def loss_fn(params):
             lm_labels = batch["lm_label_ids"]
@@ -178,7 +232,13 @@ def make_pretrain_step(model, tx, cfg, objective: int = 0, mesh=None,
         return new_state, {"loss": loss, "masked_t": mlm, "masked_v": mrm,
                            "itm": itm}
 
-    return _jit_step(step_fn, mesh, donate)
+    kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh is not None:
+        kw["in_shardings"] = (None, None, batch_sharding(mesh))
+    jitted = jax.jit(_with_mesh(step_fn, mesh), **kw)
+    if store is None:
+        return lambda state, batch: jitted(state, None, batch)
+    return lambda state, batch: jitted(state, store, batch)
 
 
 def make_pretrain_eval_step(model, cfg, mesh=None) -> Callable:
