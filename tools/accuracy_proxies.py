@@ -280,15 +280,33 @@ def nlvr2_proxy(epochs=120):
 
 
 # ----------------------------------------------------------------- proxy 2
-def retrieval_proxy(epochs=60):
+def retrieval_proxy(epochs=500):
+    """4-way retrieval train + R@K gallery eval.
+
+    Design notes (measured, see VERDICT #6 work): with the reference's
+    "mul" pooled fusion, toy-scale training from random init collapses
+    into a saddle where the two pooler outputs develop exactly disjoint
+    supports (fused product == 0, all 4 option logits tie at ln4 and the
+    CE gradient through the poolers vanishes). The reference never trains
+    retrieval from scratch — it fine-tunes an ITM-pretrained checkpoint.
+    At proxy scale the collapse is driven by dropout noise + weight decay
+    shrink: with both disabled the identical pipeline trains to ~0 loss
+    with genuinely resampled negatives, covering every (caption, image)
+    pair of a 6-image gallery so the eval_retrieval R@K is meaningful
+    (not argmax-tie-break luck). A best-val-loss guard (< 0.5) rejects
+    the tie-break false positive (loss pinned at ln4 == 1.386)."""
     from volta_tpu import zoo
 
     tmp = tempfile.mkdtemp(prefix="proxy_retrieval_")
     vocab = make_vocab(tmp)
     cfg = zoo.single_stream("uniter", depth=2,
                             vocab_size=vocab_size(vocab), **SMALL)
+    cfg.hidden_dropout_prob = 0.0
+    cfg.attention_probs_dropout_prob = 0.0
+    cfg.v_hidden_dropout_prob = 0.0
+    cfg.v_attention_probs_dropout_prob = 0.0
     cfg_path = write_cfg(tmp, cfg)
-    ids = list(range(30, 46))
+    ids = list(range(30, 36))
     feat = features_lmdb(tmp, ids)
     ann = os.path.join(tmp, "train_ann.jsonl")
     with open(ann, "w") as f:
@@ -310,14 +328,16 @@ def retrieval_proxy(epochs=60):
   val_annotations_jsonpath: {ann}
   max_seq_length: 10
   max_region_num: 6
-  batch_size: 8
-  eval_batch_size: 8
+  batch_size: 12
+  eval_batch_size: 12
   train_split: train
   val_split: train
   lr: 0.001
 """)
-    scores = run_train(tmp, cfg_path, yml, vocab, 8, epochs)
+    scores = run_train(tmp, cfg_path, yml, vocab, 8, epochs,
+                       extra=("--weight_decay", "0", "--eval_period", "25"))
     best = max(s for _, _, s in scores) / 100.0
+    best_loss = min(l for _, l, _ in scores)
 
     import eval_retrieval
     from volta_tpu.data.datasets import retrieval as rmod
@@ -333,7 +353,7 @@ def retrieval_proxy(epochs=60):
     orig_init = rmod.RetrievalDatasetVal.__init__
 
     def patched(self, *a, **kw):
-        kw["gallery_chunk"] = 8
+        kw["gallery_chunk"] = 6
         return orig_init(self, *a, **kw)
 
     with mock.patch.object(rmod.RetrievalDatasetVal, "__init__", patched), \
@@ -343,9 +363,10 @@ def retrieval_proxy(epochs=60):
         tmp, "results", "*", "*_metrics.json"))[0]))
     ir1 = metrics["image_retrieval"]["r1"] / 100.0
     tr1 = metrics["text_retrieval"]["r1"] / 100.0
-    ok = best >= 0.7 and ir1 >= 0.4 and tr1 >= 0.4
+    ok = best >= 0.9 and best_loss < 0.5 and ir1 >= 0.5 and tr1 >= 0.5
     return {"proxy": "ctrl_uniter-RetrievalFlickr30k", "train_score": best,
-            "ir_r1": ir1, "tr_r1": tr1, "ok": bool(ok)}
+            "best_loss": best_loss, "ir_r1": ir1, "tr_r1": tr1,
+            "ok": bool(ok)}
 
 
 # ----------------------------------------------------------------- proxy 5
