@@ -370,7 +370,7 @@ def retrieval_proxy(epochs=500):
 
 
 # ----------------------------------------------------------------- proxy 5
-def concap_proxy(epochs=6):
+def concap_proxy(epochs=20):
     from volta_tpu import zoo
     from volta_tpu.data import lmdbx, serialization
 
@@ -429,13 +429,17 @@ def concap_proxy(epochs=6):
     losses = []
     for out in glob.glob(os.path.join(tmp, "logs", "*", "out.txt")):
         for line in open(out):
-            m = re.search(r"loss ([\d.]+)", line)
+            m = re.search(r"masked_t ([\d.]+) masked_v ([\d.]+) "
+                          r"itm ([\d.]+)", line)
             if m:
-                losses.append(float(m.group(1)))
+                losses.append(sum(float(m.group(i)) for i in (1, 2, 3)))
+    if not losses:
+        return {"proxy": "vilbert-ConceptualCaptions", "ok": False,
+                "error": "no CC loss lines logged"}
     first, last = losses[0], min(losses[-3:])
     ok = len(losses) >= 4 and last < 0.7 * first
     return {"proxy": "vilbert-ConceptualCaptions", "first_loss": first,
-            "final_loss": last, "ok": bool(ok)}
+            "final_loss": last, "n_log_lines": len(losses), "ok": bool(ok)}
 
 
 PROXIES = {

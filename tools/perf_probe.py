@@ -54,6 +54,27 @@ def main():
         cfg = _flagship()
         if variant == "remat_ff":
             cfg.remat_ff = True
+        elif variant == "nodrop":
+            # perf ablation: how much do the hidden-dropout masks cost?
+            cfg.hidden_dropout_prob = 0.0
+            cfg.v_hidden_dropout_prob = 0.0
+        elif variant == "noattndrop":
+            # perf ablation: XLA attention instead of the in-kernel-dropout
+            # Pallas kernel (rate 0 keeps the fused eval kernel on)
+            cfg.attention_probs_dropout_prob = 0.0
+            cfg.v_attention_probs_dropout_prob = 0.0
+        elif variant == "no_ln":
+            # perf ablation (numerics wrong on purpose): LayerNorm -> identity
+            from volta_tpu.models import layers as _layers
+
+            _layers.layer_norm_ref = \
+                lambda x, scale, bias, eps=_layers.LN_EPS: x
+        elif variant == "xla_attn":
+            # perf ablation: XLA einsum attention everywhere
+            cfg.use_pallas = False
+        elif variant == "no_fused_resln":
+            # A/B: disable the fused dropout+residual+LN train kernel
+            cfg.use_fused_residual_ln = False
         model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
         batch = _vqa_batch(cfg, b, l, k)
         params = jax.jit(lambda r: model.init(

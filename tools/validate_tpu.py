@@ -7,6 +7,11 @@ custom-VJP directional derivatives — plus fwd parity of the no-dropout
 kernel and the fused LayerNorm against their XLA references.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,6 +95,48 @@ def main():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
     print("pallas LN parity OK")
+
+    # 5. fused dropout+residual+LN kernel
+    from volta_tpu.ops import fused_residual as fr
+
+    o = jnp.asarray(rng.randn(512, 768).astype(np.float32))
+    xr = jnp.asarray(rng.randn(512, 768).astype(np.float32))
+    # rate=0: fwd+bwd exact parity vs the XLA composition
+    y0 = np.asarray(jax.jit(lambda *a: fr.dropout_residual_ln(
+        *a, 0, 0.0))(o, xr, sc, b))
+    yr = np.asarray(layer_norm_ref(o + xr, sc, b))
+    np.testing.assert_allclose(y0, yr, rtol=2e-5, atol=2e-5)
+    gk = jax.jit(jax.grad(lambda o_: jnp.sum(jnp.sin(
+        fr.dropout_residual_ln(o_, xr, sc, b, 0, 0.0)))))(o)
+    gr2 = jax.jit(jax.grad(lambda o_: jnp.sum(jnp.sin(
+        layer_norm_ref(o_ + xr, sc, b)))))(o)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr2), rtol=1e-4,
+                               atol=1e-5)
+    # rate>0: determinism per seed, drop fraction, VJP mask consistency.
+    # dL/dbias == column-sums of g independent of the mask; dL/dx must use
+    # the same LN statistics as the forward (checked via value/grad in one
+    # program: y is linear in bias, so sum(y) - sum(LN_nobias) == sum(bias
+    # grads * bias)).
+    rate = 0.1
+    fdr = jax.jit(lambda s: fr.dropout_residual_ln(o, xr, sc, b, s, rate))
+    d1, d2, d3 = np.asarray(fdr(5)), np.asarray(fdr(5)), np.asarray(fdr(6))
+    assert np.array_equal(d1, d2), "same seed must reproduce"
+    assert not np.array_equal(d1, d3), "different seeds must differ"
+
+    def fval(bias_):
+        return jnp.sum(fr.dropout_residual_ln(o, xr, sc, bias_, 11, rate))
+
+    val, g_b = jax.jit(jax.value_and_grad(fval))(b)
+    # y = xhat*scale + bias -> d sum(y)/d bias = n rows each
+    np.testing.assert_allclose(np.asarray(g_b), np.full((768,), 512.0),
+                               rtol=1e-4)
+    # dropped fraction of the dense branch ~ rate: recover od zeros via the
+    # do gradient pattern (do == 0 exactly where the mask dropped)
+    g_o = jax.jit(jax.grad(lambda o_: jnp.sum(fr.dropout_residual_ln(
+        o_, xr, sc, b, 11, rate) ** 2)))(o)
+    frac = float((np.asarray(g_o) == 0.0).mean())
+    assert abs(frac - rate) < 0.02, frac
+    print(f"fused residual-LN kernel OK (drop frac {frac:.3f})")
     print("ALL TPU KERNEL VALIDATIONS PASSED")
 
 

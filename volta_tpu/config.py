@@ -103,6 +103,13 @@ class VoltaConfig:
     # Mosaic PRNG draws are not reproducible across recompilations, so
     # recompute there would decorrelate the mask from the forward pass.
     remat_ff: bool = False
+    # Fused dropout+residual+LayerNorm train kernel for the sublayer tails
+    # (ops/fused_residual.py). Measured A/B on v5e (b256 seq23 r37 VQA
+    # step): 93.8 ms fused vs 92.3 ms XLA — XLA already fuses the
+    # dropout+add+LN chain into the matmul epilogues, so the kernel is a
+    # slight non-win at base shapes and stays opt-in (same story as the
+    # Pallas LN). Only active on the TPU train path (rate > 0).
+    use_fused_residual_ln: bool = False
 
     _KNOWN = None  # populated below
 

@@ -28,6 +28,14 @@ def _dtype(cfg: VoltaConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _make_ln(cfg: VoltaConfig, dim: int, name: str) -> LayerNorm:
+    """Residual-capable LayerNorm: the fused dropout+residual+LN train
+    kernel rides the same ``use_pallas`` gate as the attention kernels."""
+    return LayerNorm(dim, use_pallas=cfg.use_pallas_layernorm,
+                     fused_residual=cfg.use_pallas and
+                     getattr(cfg, "use_fused_residual_ln", True), name=name)
+
+
 def _split_heads(x, num_heads):
     b, l, hd = x.shape
     return x.reshape(b, l, num_heads, hd // num_heads)
@@ -57,15 +65,13 @@ class GatedAttentionSublayer(nn.Module):
             self.key = dense(spec.attn_hidden_size, std, dt, "key")
             self.value = dense(spec.attn_hidden_size, std, dt, "value")
             self.out_dense = dense(cfg.hidden_size, std, dt, "out_dense")
-            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
-                                    name="out_ln")
+            self.out_ln = _make_ln(cfg, cfg.hidden_size, "out_ln")
         if spec.has_vision and not spec.share_params:
             self.v_query = dense(spec.v_attn_hidden_size, std, dt, "v_query")
             self.v_key = dense(spec.v_attn_hidden_size, std, dt, "v_key")
             self.v_value = dense(spec.v_attn_hidden_size, std, dt, "v_value")
             self.v_out_dense = dense(cfg.v_hidden_size, std, dt, "v_out_dense")
-            self.v_out_ln = LayerNorm(
-                cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm, name="v_out_ln")
+            self.v_out_ln = _make_ln(cfg, cfg.v_hidden_size, "v_out_ln")
         self.attn_drop = nn.Dropout(cfg.attention_probs_dropout_prob)
         self.v_attn_drop = nn.Dropout(cfg.v_attention_probs_dropout_prob)
         self.hidden_drop = nn.Dropout(cfg.hidden_dropout_prob)
@@ -134,9 +140,9 @@ class GatedAttentionSublayer(nn.Module):
         head_dim = spec.attn_hidden_size // spec.num_heads
         ctx, _ = self._attend(q, [k], [v], [bias], head_dim, self.attn_drop,
                               deterministic, False, [x.shape[1]])
-        o = self.hidden_drop(self.out_dense(_merge_heads(ctx)),
-                             deterministic=deterministic)
-        return self.out_ln(o + x)
+        return self.out_ln(self.out_dense(_merge_heads(ctx)), residual=x,
+                           drop_rate=self.cfg.hidden_dropout_prob,
+                           deterministic=deterministic)
 
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_probs: bool = False):
@@ -185,23 +191,37 @@ class GatedAttentionSublayer(nn.Module):
             v_ctx = _merge_heads(v_ctx)
 
         # Gated self-output: dense + dropout + residual + LayerNorm
-        # (reference: volta/encoders.py:398-424).
+        # (reference: volta/encoders.py:398-424), as residual-mode LN calls
+        # so the TPU train path fuses the whole chain into one kernel.
+        cfg = self.cfg
+        t_rate = cfg.hidden_dropout_prob
+        v_rate = cfg.hidden_dropout_prob if spec.share_params \
+            else cfg.v_hidden_dropout_prob
         if spec.has_text:
-            t_o = self.hidden_drop(self.out_dense(t_ctx),
-                                   deterministic=deterministic)
+            t_o = self.out_dense(t_ctx)
         if spec.has_vision:
             od = self.out_dense if spec.share_params else self.v_out_dense
-            hd = self.hidden_drop if spec.share_params else self.v_hidden_drop
-            v_o = hd(od(v_ctx), deterministic=deterministic)
+            v_o = od(v_ctx)
 
         if spec.single_ln:
-            y = self.out_ln(jnp.concatenate([t_o + t, v_o + v], axis=1))
+            if t_rate == v_rate:
+                y = self.out_ln(jnp.concatenate([t_o, v_o], axis=1),
+                                residual=jnp.concatenate([t, v], axis=1),
+                                drop_rate=t_rate,
+                                deterministic=deterministic)
+            else:  # distinct rates cannot share one mask draw
+                t_d = self.hidden_drop(t_o, deterministic=deterministic)
+                v_d = self.v_hidden_drop(v_o, deterministic=deterministic)
+                y = self.out_ln(jnp.concatenate([t_d + t, v_d + v], axis=1))
             t_new, v_new = y[:, :t.shape[1]], y[:, t.shape[1]:]
         else:
-            t_new = self.out_ln(t_o + t) if spec.has_text else t
+            t_new = self.out_ln(
+                t_o, residual=t, drop_rate=t_rate,
+                deterministic=deterministic) if spec.has_text else t
             if spec.has_vision:
                 ln = self.out_ln if spec.share_params else self.v_out_ln
-                v_new = ln(v_o + v)
+                v_new = ln(v_o, residual=v, drop_rate=v_rate,
+                           deterministic=deterministic)
             else:
                 v_new = v
         if output_probs:
@@ -223,9 +243,10 @@ class GatedFeedForwardSublayer(nn.Module):
 
     def fused(self, x, *, deterministic: bool = True):
         act = ACT2FN[self.cfg.hidden_act]
-        o = self.hidden_drop(self.out_dense(act(self.inter_dense(x))),
-                             deterministic=deterministic)
-        return self.out_ln(o + x)
+        return self.out_ln(self.out_dense(act(self.inter_dense(x))),
+                           residual=x,
+                           drop_rate=self.cfg.hidden_dropout_prob,
+                           deterministic=deterministic)
 
     cfg: VoltaConfig
     spec: SublayerSpec
@@ -237,14 +258,12 @@ class GatedFeedForwardSublayer(nn.Module):
         if spec.has_t_ff:
             self.inter_dense = dense(spec.intermediate_size, std, dt, "inter_dense")
             self.out_dense = dense(cfg.hidden_size, std, dt, "out_dense")
-            self.out_ln = LayerNorm(cfg.hidden_size, use_pallas=cfg.use_pallas_layernorm,
-                                    name="out_ln")
+            self.out_ln = _make_ln(cfg, cfg.hidden_size, "out_ln")
         if spec.has_v_ff and not spec.share_params:
             self.v_inter_dense = dense(
                 spec.v_intermediate_size, std, dt, "v_inter_dense")
             self.v_out_dense = dense(cfg.v_hidden_size, std, dt, "v_out_dense")
-            self.v_out_ln = LayerNorm(
-                cfg.v_hidden_size, use_pallas=cfg.use_pallas_layernorm, name="v_out_ln")
+            self.v_out_ln = _make_ln(cfg, cfg.v_hidden_size, "v_out_ln")
         self.hidden_drop = nn.Dropout(cfg.hidden_dropout_prob)
         self.v_hidden_drop = nn.Dropout(cfg.v_hidden_dropout_prob)
 
@@ -252,23 +271,34 @@ class GatedFeedForwardSublayer(nn.Module):
         cfg, spec = self.cfg, self.spec
         act = ACT2FN[cfg.hidden_act]
         v_act = ACT2FN[cfg.hidden_act if spec.share_params else cfg.v_hidden_act]
+        t_rate = cfg.hidden_dropout_prob
+        v_rate = cfg.hidden_dropout_prob if spec.share_params \
+            else cfg.v_hidden_dropout_prob
         if spec.has_t_ff:
-            t_h = act(self.inter_dense(t))
-            t_o = self.hidden_drop(self.out_dense(t_h),
-                                   deterministic=deterministic)
+            t_o = self.out_dense(act(self.inter_dense(t)))
         if spec.has_v_ff:
             inter = self.inter_dense if spec.share_params else self.v_inter_dense
             outd = self.out_dense if spec.share_params else self.v_out_dense
-            hd = self.hidden_drop if spec.share_params else self.v_hidden_drop
-            v_o = hd(outd(v_act(inter(v))), deterministic=deterministic)
+            v_o = outd(v_act(inter(v)))
 
         if spec.single_ln:
-            y = self.out_ln(jnp.concatenate([t_o + t, v_o + v], axis=1))
+            if t_rate == v_rate:
+                y = self.out_ln(jnp.concatenate([t_o, v_o], axis=1),
+                                residual=jnp.concatenate([t, v], axis=1),
+                                drop_rate=t_rate,
+                                deterministic=deterministic)
+            else:
+                t_d = self.hidden_drop(t_o, deterministic=deterministic)
+                v_d = self.v_hidden_drop(v_o, deterministic=deterministic)
+                y = self.out_ln(jnp.concatenate([t_d + t, v_d + v], axis=1))
             return y[:, :t.shape[1]], y[:, t.shape[1]:]
-        t_new = self.out_ln(t_o + t) if spec.has_t_ff else t
+        t_new = self.out_ln(
+            t_o, residual=t, drop_rate=t_rate,
+            deterministic=deterministic) if spec.has_t_ff else t
         if spec.has_v_ff:
             ln = self.out_ln if spec.share_params else self.v_out_ln
-            v_new = ln(v_o + v)
+            v_new = ln(v_o, residual=v, drop_rate=v_rate,
+                       deterministic=deterministic)
         else:
             v_new = v
         return t_new, v_new

@@ -51,22 +51,61 @@ def layer_norm_ref(x, scale, bias, eps: float = LN_EPS):
 class LayerNorm(nn.Module):
     """TF-style layernorm with learnable scale/bias.
 
-    ``use_pallas`` switches to the fused Pallas kernel on TPU (set from
-    config; falls back to XLA on other backends automatically).
+    ``use_pallas`` switches the plain path to the fused Pallas LN kernel on
+    TPU; ``fused_residual`` enables the fused dropout+residual+LN train
+    kernel for the residual-mode call (set from config; both fall back to
+    XLA off-TPU or at unsupported shapes).
+
+    Residual mode — ``ln(o, residual=x, drop_rate=p, deterministic=d)`` —
+    computes ``LN(dropout(o) + x)``, the tail of every encoder sublayer
+    (reference: volta/encoders.py:398-424). On the TPU train path this is
+    one fused kernel per direction (ops/fused_residual.py); elsewhere it is
+    the reference composition (bit-identical in deterministic mode to the
+    previous Dropout-module + add + LN formulation).
     """
 
     dim: int
     eps: float = LN_EPS
     use_pallas: bool = False
+    fused_residual: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, *, drop_rate: float = 0.0,
+                 deterministic: bool = True):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if residual is None:
+            if self.use_pallas:
+                from ..ops.layernorm import fused_layer_norm
+                return fused_layer_norm(x, scale, bias, eps=self.eps)
+            return layer_norm_ref(x, scale, bias, eps=self.eps)
+
+        dropping = (not deterministic) and drop_rate > 0.0
+        if dropping and self.fused_residual and \
+                jax.default_backend() == "tpu":
+            from ..ops import fused_residual as fr
+            from ..parallel import tp
+
+            mesh = tp.current_mesh()
+            if fr.supported(x) and (mesh is None or
+                                    tp.shardable_rows(mesh, x)):
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max)
+                return tp.shard_residual_ln(
+                    lambda o, r, sc, b, s: fr.dropout_residual_ln(
+                        o, r, sc, b, s, drop_rate, self.eps),
+                    x, residual, scale, bias, seed)
+        if dropping:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - drop_rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - drop_rate),
+                          jnp.zeros((), x.dtype))
+        s = x + residual
         if self.use_pallas:
             from ..ops.layernorm import fused_layer_norm
-            return fused_layer_norm(x, scale, bias, eps=self.eps)
-        return layer_norm_ref(x, scale, bias, eps=self.eps)
+            return fused_layer_norm(s, scale, bias, eps=self.eps)
+        return layer_norm_ref(s, scale, bias, eps=self.eps)
 
 
 def dense(features: int, stddev: float, dtype, name: str) -> nn.Dense:

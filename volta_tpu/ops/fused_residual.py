@@ -1,0 +1,199 @@
+"""Fused dropout + residual-add + LayerNorm (Pallas/TPU) with custom VJP.
+
+TPU-native replacement for the hottest non-matmul chain in the gated
+encoder: every sublayer ends with ``LN(dropout(dense_out) + residual)``
+(reference: volta/encoders.py:398-424, 469-484 — Dropout -> add ->
+apex FusedLayerNorm). On v5e this chain costs ~14 ms of the 92 ms VQA
+train step when left to XLA (measured by the no-LN / no-dropout ablations
+in tools/perf_probe.py); fusing it into one kernel per direction removes
+the intermediate HBM round trips and the separate RNG pass.
+
+Forward: one row-tiled kernel draws the Bernoulli keep mask from the
+per-core PRNG, applies dropout, adds the residual, normalizes, and emits
+(y, dropped-in-o.dtype, mean, rstd). The *dropped* activations (not the mask)
+are the saved residual — the backward recovers the mask as ``od != 0``
+(an element that was exactly 0.0 before dropout loses its gradient; at
+bf16 dense outputs that event has measure ~0 and the reference's own
+fp16 apex path has the same property for underflowed activations).
+Mosaic PRNG bits are not reproducible across separately compiled kernels
+(see CLAUDE.md), so the backward never regenerates the mask.
+
+Backward: recomputes s = od + x in VMEM, runs the LayerNorm VJP per row,
+splits ds into the residual gradient (dx = ds) and the dense-branch
+gradient (do = ds * keep / (1-rate)), and emits per-tile partial
+dscale/dbias that XLA sums afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.layers import LN_EPS
+
+_ROW_TILE = 256
+
+
+def _ln_rows(s, scale, bias, eps):
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    sc = s - mean
+    var = jnp.mean(sc * sc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = sc * rstd * scale + bias
+    return y, mean, rstd
+
+
+def _fwd_kernel(seed_ref, o_ref, x_ref, scale_ref, bias_ref,
+                y_ref, od_ref, mean_ref, rstd_ref, *, rate, eps):
+    o = o_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(o.shape), jnp.uint32)
+        keep = 1.0 - rate
+        thresh = jnp.uint32(keep * 4294967295.0)
+        od = jnp.where(bits < thresh, o * (1.0 / keep), 0.0)
+    else:
+        od = o
+    s = od + x_ref[:].astype(jnp.float32)
+    y, mean, rstd = _ln_rows(s, scale_ref[:].astype(jnp.float32),
+                             bias_ref[:].astype(jnp.float32), eps)
+    y_ref[:] = y.astype(y_ref.dtype)
+    od_ref[:] = od.astype(od_ref.dtype)
+    mean_ref[:] = mean
+    rstd_ref[:] = rstd
+
+
+def _bwd_kernel(g_ref, od_ref, x_ref, scale_ref, mean_ref, rstd_ref,
+                do_ref, dx_ref, dscale_ref, dbias_ref, *, rate):
+    g = g_ref[:].astype(jnp.float32)
+    od = od_ref[:].astype(jnp.float32)
+    s = od + x_ref[:].astype(jnp.float32)
+    rstd = rstd_ref[:]
+    xhat = (s - mean_ref[:]) * rstd
+    gs = g * scale_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    ds = rstd * (gs - m1 - xhat * m2)
+    dx_ref[:] = ds.astype(dx_ref.dtype)
+    if rate > 0.0:
+        keep_scaled = jnp.where(od != 0.0, 1.0 / (1.0 - rate), 0.0)
+        do_ref[:] = (ds * keep_scaled).astype(do_ref.dtype)
+    else:
+        do_ref[:] = ds.astype(do_ref.dtype)
+    t, d = g.shape
+    dscale_ref[0] = jnp.sum((g * xhat).reshape(t // 8, 8, d), axis=0)
+    dbias_ref[0] = jnp.sum(g.reshape(t // 8, 8, d), axis=0)
+
+
+def _pick_tile(n):
+    tile = min(_ROW_TILE, n)
+    while tile > 8 and n % tile:
+        tile //= 2
+    return tile
+
+
+def _row_blk(tile, d):
+    return pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _vec_blk(d):
+    return pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+
+
+def _stat_blk(tile):
+    return pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret=False):
+    d = o.shape[-1]
+    n = o.size // d
+    o2 = o.reshape(n, d)
+    x2 = x.reshape(n, d)
+    tile = _pick_tile(n)
+    y, od, mean, rstd = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate, eps=eps),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _row_blk(tile, d), _row_blk(tile, d),
+                  _vec_blk(d), _vec_blk(d)],
+        out_specs=[_row_blk(tile, d), _row_blk(tile, d),
+                   _stat_blk(tile), _stat_blk(tile)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), o.dtype),
+            jax.ShapeDtypeStruct((n, d), o.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_arr, o2, x2, scale, bias)
+    return y.reshape(o.shape), (od, x2, scale, mean, rstd, o.shape)
+
+
+def _bwd_call(rate, eps, interpret, res, g):
+    od, x2, scale, mean, rstd, orig_shape = res
+    n, d = x2.shape
+    g2 = g.reshape(n, d)
+    tile = _pick_tile(n)
+    ntiles = n // tile
+    do, dx, dscale_p, dbias_p = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate),
+        grid=(ntiles,),
+        in_specs=[_row_blk(tile, d), _row_blk(tile, d), _row_blk(tile, d),
+                  _vec_blk(d), _stat_blk(tile), _stat_blk(tile)],
+        out_specs=[
+            _row_blk(tile, d), _row_blk(tile, d),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), g.dtype),
+            jax.ShapeDtypeStruct((n, d), g.dtype),
+            jax.ShapeDtypeStruct((ntiles, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, 8, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g2, od, x2, scale, mean, rstd)
+    import numpy as _np
+
+    dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
+    return (do.reshape(orig_shape), dx.reshape(orig_shape),
+            jnp.sum(dscale_p, axis=(0, 1)), jnp.sum(dbias_p, axis=(0, 1)),
+            dseed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _dropout_residual_ln(o, x, scale, bias, seed_arr, rate, eps, interpret):
+    return _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret)[0]
+
+
+def _fwd_rule(o, x, scale, bias, seed_arr, rate, eps, interpret):
+    return _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret)
+
+
+_dropout_residual_ln.defvjp(_fwd_rule, _bwd_call)
+
+
+def dropout_residual_ln(o, x, scale, bias, seed, rate: float,
+                        eps: float = LN_EPS, interpret: bool = False):
+    """``LayerNorm(dropout(o) + x)`` in one fused kernel per direction.
+
+    ``o`` is the dense-branch output, ``x`` the residual stream (same
+    shape, last dim normalized). ``seed`` is an int32 scalar; the kernel
+    mixes in its row-tile program id. Shapes must satisfy
+    ``supported(o)``; callers fall back to the XLA composition otherwise.
+    """
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _dropout_residual_ln(o, x, scale, bias, seed_arr, float(rate),
+                                float(eps), interpret)
+
+
+def supported(o) -> bool:
+    d = o.shape[-1]
+    n = o.size // d
+    return n >= 8 and n % 8 == 0 and d % 128 == 0

@@ -90,6 +90,44 @@ def shard_dropout_attention(fn, q, k, v, bias, seed):
         out_specs=qkv)(q, k, v, bias, jnp_int32(seed))
 
 
+def shardable_rows(mesh, x) -> bool:
+    """Row-parallel kernels (fused residual-LN) shard batch over ``data``;
+    the hidden axis stays whole and the activation is replicated over
+    ``model``."""
+    from ..ops.fused_residual import supported
+
+    b = x.shape[0]
+    data = mesh.shape.get("data", 1)
+    if b % data:
+        return False
+    local = x[: b // data]
+    return supported(local)
+
+
+def shard_residual_ln(fn, o, x, scale, bias, seed):
+    """Run ``fn(o, x, scale, bias, seed)`` per-device over the active mesh.
+    Rows split over ``data``; scale/bias replicated. The seed is offset by
+    the data coordinate only — model-axis replicas must draw the *same*
+    mask so the replicated activations stay consistent."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = current_mesh()
+    if mesh is None:
+        return fn(o, x, scale, bias, seed)
+    data = "data" if mesh.shape.get("data", 1) > 1 else None
+    rows = P(*((data,) + (None,) * (o.ndim - 1)))
+
+    def local(o, x, scale, bias, seed):
+        if data is not None:
+            seed = seed + jax.lax.axis_index("data") * 100003
+        return fn(o, x, scale, bias, seed)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(rows, rows, P(), P(), P()),
+        out_specs=rows)(o, x, scale, bias, jnp_int32(seed))
+
+
 def jnp_int32(x):
     import jax.numpy as jnp
 
