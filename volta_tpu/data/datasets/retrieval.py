@@ -162,8 +162,22 @@ class RetrievalDatasetVal(VLDataset):
     def __len__(self):
         return len(self.entries) * self.num_chunks
 
-    def __getitem__(self, index):
-        caption_idx, chunk_idx = divmod(index, self.num_chunks)
+    def gallery(self, chunk_idx):
+        """(features, spatials, image_mask) arrays for one gallery chunk —
+        constant across captions, so callers can cache them device-side
+        instead of re-shipping them per caption (the reference re-sends the
+        chunk for every caption, eval_retrieval.py:172-177)."""
+        lo = chunk_idx * self.gallery_chunk
+        hi = lo + self.gallery_chunk
+        return (self.features_all[lo:hi], self.spatials_all[lo:hi],
+                self.image_mask_all[lo:hi])
+
+    def caption(self, caption_idx):
+        """(q_tokens, q_mask, q_seg) for one caption."""
+        e = self.entries[caption_idx]
+        return e["q_tokens"], e["q_mask"], e["q_seg"]
+
+    def target_row(self, caption_idx, chunk_idx):
         lo = chunk_idx * self.gallery_chunk
         hi = lo + self.gallery_chunk
         e = self.entries[caption_idx]
@@ -173,12 +187,19 @@ class RetrievalDatasetVal(VLDataset):
         pad = self.gallery_chunk - target.shape[0]
         if pad:
             target = np.concatenate([target, np.zeros((pad,), np.float32)])
+        return target
+
+    def __getitem__(self, index):
+        caption_idx, chunk_idx = divmod(index, self.num_chunks)
+        feats, spats, imask = self.gallery(chunk_idx)
+        q_tokens, q_mask, q_seg = self.caption(caption_idx)
         return {
-            "features": self.features_all[lo:hi],
-            "spatials": self.spatials_all[lo:hi],
-            "image_mask": self.image_mask_all[lo:hi],
-            "question": e["q_tokens"], "input_mask": e["q_mask"],
-            "segment_ids": e["q_seg"], "target": target,
+            "features": feats,
+            "spatials": spats,
+            "image_mask": imask,
+            "question": q_tokens, "input_mask": q_mask,
+            "segment_ids": q_seg,
+            "target": self.target_row(caption_idx, chunk_idx),
             "caption_idx": np.int64(caption_idx),
             "image_idx": np.int64(chunk_idx),
         }
