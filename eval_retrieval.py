@@ -53,6 +53,9 @@ def parse_args():
                    help="captions scored per dispatch against the "
                         "device-resident gallery chunk (effective batch = "
                         "this x gallery_chunk)")
+    p.add_argument("--max_captions", type=int, default=0,
+                   help="score only the first N captions (throughput "
+                        "benchmarking; metrics then cover the subset)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no_pallas", action="store_true")
@@ -94,6 +97,8 @@ def main():
     chunk = ds.gallery_chunk
     n_images = ds.num_images
     n_captions = len(ds.entries)
+    if args.max_captions:
+        n_captions = min(n_captions, args.max_captions)
 
     import jax.numpy as jnp
 

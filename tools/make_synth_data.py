@@ -165,6 +165,28 @@ def gen_gqa(args):
     print(f"gqa synth done -> {args.out}", flush=True)
 
 
+def gen_retrieval(args):
+    """Flickr30k-layout jsonlines annotations over an existing ``vqa``
+    features store (reference: volta/datasets/retrieval_dataset.py:34-45 —
+    ``img_path`` stem is the image id, 5 sentences per image). Gallery =
+    the first --images ids of the store."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    path = os.path.join(args.out, "all_data_final_test_set0_2014.jsonline")
+    with open(path, "w") as f:
+        for i in range(args.images):
+            sents = []
+            for _ in range(args.sentences):
+                words = [WORD_STEMS[int(j)] for j in
+                         rng.randint(0, len(WORD_STEMS), rng.randint(6, 14))]
+                sents.append("a photo of " + " ".join(words))
+            f.write(json.dumps({"img_path": f"{1000000 + i}.jpg",
+                                "sentences": sents}) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"retrieval synth done -> {path} "
+          f"({args.images} images x {args.sentences} sentences)", flush=True)
+
+
 def gen_cc(args):
     from volta_tpu.data import lmdbx, serialization
 
@@ -222,7 +244,7 @@ def gen_cc(args):
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("vqa", "cc", "gqa"):
+    for name in ("vqa", "cc", "gqa", "retrieval"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -235,8 +257,11 @@ def main():
         if name == "gqa":
             sp.add_argument("--questions", type=int, default=40000)
             sp.add_argument("--num_labels", type=int, default=1843)
+        if name == "retrieval":
+            sp.add_argument("--sentences", type=int, default=5)
     args = p.parse_args()
-    {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa}[args.cmd](args)
+    {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
+     "retrieval": gen_retrieval}[args.cmd](args)
 
 
 if __name__ == "__main__":
