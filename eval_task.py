@@ -93,6 +93,9 @@ def main():
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
     tc = task_cfg[task]
+    if tc.get("fusion_method"):
+        # per-task pooling override (reference: eval_task.py:116-118)
+        cfg.fusion_method = tc["fusion_method"]
 
     data = load_dataset_eval(args, cfg, task_cfg, args.task)
     ds, loader = data["dataset"], data["loader"]

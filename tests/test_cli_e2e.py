@@ -221,3 +221,59 @@ TASK15:
     import gqa_score
     acc = gqa_score.evaluate(preds, questions)
     assert 0.0 <= acc <= 1.0
+
+
+def test_vlbert_vqa_fusion_override_cli(tmp_path):
+    """Per-task ``fusion_method: vl-bert_vqa`` in the task YAML must reach
+    the model config (reference: train_task.py:144-146) — the vl-bert
+    model JSON itself says ``fusion_method: none`` and would otherwise
+    have no pooled output to classify."""
+    import train_task
+
+    tmp = str(tmp_path)
+    ids = [40, 41, 42]
+    feat_path = fixtures.make_features_lmdb(tmp, ids, feature_size=32)
+    fixtures.make_vqa_annotations(tmp, ids, n_questions=8, num_labels=9)
+    vocab = fixtures.make_vocab(tmp)
+    cfg = zoo.single_stream(
+        "vl-bert", depth=2, hidden_size=48, num_attention_heads=4,
+        intermediate_size=64, pooler_size=48, v_pooler_size=48,
+        vocab_size=23, max_position_embeddings=64, v_feature_size=32,
+        v_hidden_size=48, v_num_attention_heads=4, v_intermediate_size=64,
+        clf_hidden_size=32, type_vocab_size=3,
+        v_coordinate_embeddings_dim=16, image_head_ln=False,
+        add_global_imgfeat="last", fusion_method="none")
+    cfg_path = os.path.join(tmp, "model.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+    yml = write_task_yml(tmp, feat_path)
+    with open(yml, "a") as f:
+        f.write("  fusion_method: vl-bert_vqa\n")
+
+    out_dir = os.path.join(tmp, "save")
+    argv = ["train_task.py", "--config_file", cfg_path,
+            "--tasks_config_file", yml, "--task", "1",
+            "--vocab_file", vocab, "--output_dir", out_dir,
+            "--logdir", os.path.join(tmp, "logs"),
+            "--num_train_epochs", "1", "--num_workers", "0",
+            "--compute_dtype", "float32", "--no_pallas",
+            "--clip_grad_norm", "1.0"]
+    with mock.patch.object(sys, "argv", argv):
+        train_task.main()
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    assert os.path.isdir(os.path.join(run_dir, "best"))
+
+    import eval_task
+
+    res_dir = os.path.join(tmp, "results")
+    argv = ["eval_task.py", "--config_file", cfg_path,
+            "--tasks_config_file", yml, "--task", "1",
+            "--vocab_file", vocab,
+            "--from_pretrained", os.path.join(run_dir, "best"),
+            "--output_dir", res_dir, "--num_workers", "0",
+            "--compute_dtype", "float32", "--no_pallas"]
+    with mock.patch.object(sys, "argv", argv):
+        eval_task.main()
+    res_run = os.listdir(res_dir)[0]
+    preds = json.load(open(os.path.join(res_dir, res_run,
+                                        "train_result.json")))
+    assert len(preds) == 8

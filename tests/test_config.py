@@ -76,3 +76,40 @@ def test_emitted_configs_load(tmp_path):
     for name in zoo.ZOO_NAMES:
         cfg = VoltaConfig.from_json_file(str(tmp_path / f"{name}.json"))
         cfg.sublayer_plan()
+
+
+def test_task_configs_match_generator():
+    """config_tasks/*.yml regenerate byte-identically from the programmatic
+    tables (the reference task-config surface; parse-equality vs the
+    reference files verified at generation time)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_task_configs", os.path.join(root, "tools",
+                                         "gen_task_configs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for fname, text in mod.build().items():
+        path = os.path.join(root, "config_tasks", fname)
+        assert open(path).read() == text, f"stale {fname}"
+
+
+def test_task_yaml_fusion_overrides_present():
+    """The vl-bert task files must carry the per-task pooling overrides the
+    CLIs apply (reference: config_tasks/vl-bert_trainval_tasks.yml:21-22)."""
+    import os
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tv = yaml.safe_load(open(os.path.join(
+        root, "config_tasks", "vl-bert_trainval_tasks.yml")))
+    assert tv["TASK1"]["fusion_method"] == "vl-bert_vqa"
+    assert tv["TASK1"]["embed_clf"] is True
+    assert tv["TASK10"]["num_clf_layers"] == 2
+    te = yaml.safe_load(open(os.path.join(
+        root, "config_tasks", "vl-bert_test_tasks.yml")))
+    assert te["TASK1"]["fusion_method"] == "vl-bert_vqa"
+    assert te["TASK10"]["max_region_num"] == 101

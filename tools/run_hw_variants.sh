@@ -65,6 +65,8 @@ TASK1:
   val_split: val
   lr: 0.0001
   num_epoch: 1
+  fusion_method: vl-bert_vqa
+  embed_clf: true
 EOF
 
 echo "=== lxmert GQA ($(date))"

@@ -123,6 +123,10 @@ def main():
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
     tc = task_cfg[task]
+    if tc.get("fusion_method"):
+        # per-task pooling override, e.g. vl-bert_vqa [MASK]-position
+        # pooling for VL-BERT VQA (reference: train_task.py:144-146)
+        cfg.fusion_method = tc["fusion_method"]
 
     save_name = args.save_name or "base"
     run_name = f"{tc['name']}_{os.path.basename(args.config_file)}-{save_name}"
