@@ -187,6 +187,80 @@ def gen_retrieval(args):
           f"({args.images} images x {args.sentences} sentences)", flush=True)
 
 
+def gen_vcr(args):
+    """VCR-layout corpus: det + GT feature LMDBs keyed ``m<i>.jpg``,
+    per-image metadata jsons with det-tag name lists, and train jsonl with
+    mixed str/[tag] tokens x 4 answer + 4 rationale choices (reference:
+    volta/datasets/vcr_dataset.py:302-395)."""
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    meta_dir = os.path.join(args.out, "vcr1images")
+    os.makedirs(meta_dir, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+
+    def write_store(name, n_boxes):
+        items, keys = [], []
+        for i in range(args.images):
+            key = f"m{i}.jpg".encode()
+            keys.append(key)
+            feats = (rng.randn(n_boxes, args.feat_dim) * 0.5).astype(
+                np.float32)
+            rec = {
+                "img_id": f"m{i}.jpg", "img_h": 480, "img_w": 640,
+                "num_boxes": n_boxes,
+                "features": base64.b64encode(feats.tobytes()),
+                "boxes": base64.b64encode(
+                    _boxes(rng, n_boxes, 640, 480).tobytes()),
+            }
+            items.append((key, pickle.dumps(rec)))
+        items.append((b"keys", pickle.dumps(keys)))
+        path = os.path.join(args.out, name)
+        lmdbx.write(path, items)
+        print(f"  {name}: {args.images} images, "
+              f"{os.path.getsize(path) / 2**30:.2f} GiB", flush=True)
+
+    write_store("vcr_feat.lmdb", args.boxes)
+    write_store("vcr_gt_feat.lmdb", 8)
+
+    objects = ["person", "dog", "car", "chair", "ball", "table", "book"]
+    for i in range(args.images):
+        n = int(rng.randint(2, 6))
+        names = [objects[int(j)] for j in rng.randint(0, len(objects), n)]
+        json.dump({"names": names},
+                  open(os.path.join(meta_dir, f"m{i}.json"), "w"))
+
+    def mixed_tokens(n_names):
+        words = [WORD_STEMS[int(j)] for j in
+                 rng.randint(0, len(WORD_STEMS), rng.randint(3, 7))]
+        toks = [w for w in words]
+        if rng.rand() < 0.7:
+            toks.insert(int(rng.randint(len(toks))),
+                        [int(rng.randint(n_names))])
+        return toks
+
+    ann_dir = os.path.join(args.out, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "train.jsonl"), "w") as f:
+        for k in range(args.questions):
+            i = int(rng.randint(args.images))
+            n_names = 2  # every names list has >= 2 entries
+            f.write(json.dumps({
+                "question": mixed_tokens(n_names) + ["?"],
+                "answer_choices": [mixed_tokens(n_names) for _ in range(4)],
+                "answer_label": int(rng.randint(4)),
+                "rationale_choices": [mixed_tokens(n_names)
+                                      for _ in range(4)],
+                "rationale_label": int(rng.randint(4)),
+                "img_id": f"train-{i}", "img_fn": f"m{i}.jpg",
+                "metadata_fn": f"m{i}.json",
+                "annot_id": f"train-{k}"}) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"vcr synth done in {time.time() - t0:.0f}s -> {args.out}",
+          flush=True)
+
+
 def gen_cc(args):
     from volta_tpu.data import lmdbx, serialization
 
@@ -244,7 +318,7 @@ def gen_cc(args):
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("vqa", "cc", "gqa", "retrieval"):
+    for name in ("vqa", "cc", "gqa", "retrieval", "vcr"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -259,9 +333,11 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
+        if name == "vcr":
+            sp.add_argument("--questions", type=int, default=20000)
     args = p.parse_args()
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
-     "retrieval": gen_retrieval}[args.cmd](args)
+     "retrieval": gen_retrieval, "vcr": gen_vcr}[args.cmd](args)
 
 
 if __name__ == "__main__":
