@@ -49,7 +49,7 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--in_memory", default=False, type=bool)
     p.add_argument("--zero_shot", action="store_true")
-    p.add_argument("--captions_per_forward", type=int, default=2,
+    p.add_argument("--captions_per_forward", type=int, default=4,
                    help="captions scored per dispatch against the "
                         "device-resident gallery chunk (effective batch = "
                         "this x gallery_chunk)")
@@ -158,6 +158,11 @@ def main():
 
     score_matrix = np.zeros((n_captions, ds.num_chunks * chunk), np.float32)
     target_matrix = np.zeros_like(score_matrix)
+    # warm the compile cache so the throughput log reflects steady state
+    _c0 = [ds.caption(0)] * cb
+    _ = np.asarray(fwd(variables, np.stack([c[0] for c in _c0]),
+                       np.stack([c[2] for c in _c0]),
+                       np.stack([c[1] for c in _c0]), *gallery_dev[0]))
     t_score = time.perf_counter()
     for c0 in range(0, n_captions, cb):
         # tail block padded by repeating the last caption (rows discarded)
