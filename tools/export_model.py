@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Export a fine-tuned task model to a serving artifact (StableHLO).
+
+Builds the model from a config + checkpoint, bakes the weights in, and
+writes a serialized ``jax.export`` artifact a serving process can load
+with ``volta_tpu.export.load_exported`` (or plain
+``jax.export.deserialize``) — no model code needed at serving time.
+
+Usage:
+  python tools/export_model.py --config_file configs/ctrl_uniter_base.json \
+      --tasks_config_file config_tasks/ctrl_test_tasks.yml --task 1 \
+      --from_pretrained <ckpt> --out vqa_serving.stablehlo \
+      --batch_size 32 [--platforms cpu tpu] [--check]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--tasks_config_file", required=True)
+    p.add_argument("--task", required=True)
+    p.add_argument("--from_pretrained", default="")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seq_len", type=int, default=0,
+                   help="default: the task's max_seq_length")
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="target platforms (default: current backend); "
+                        "non-tpu targets force the XLA (no-pallas) path")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="keep the Mosaic kernels in the artifact "
+                        "(tpu-only serving)")
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and run a zero batch")
+    args = p.parse_args()
+
+    import jax
+
+    from volta_tpu import export as vexport
+    from volta_tpu.checkpoint import from_pretrained
+    from volta_tpu.config import VoltaConfig
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.task_utils import load_task_config, task_key
+
+    cfg = VoltaConfig.from_json_file(args.config_file)
+    cfg.use_pallas = bool(args.use_pallas)
+    task_cfg = load_task_config(args.tasks_config_file)
+    task = task_key(args.task)
+    tc = task_cfg[task]
+    if tc.get("fusion_method"):
+        cfg.fusion_method = tc["fusion_method"]
+    seq_len = args.seq_len or int(tc["max_seq_length"])
+    region_len = int(tc["max_region_num"]) + \
+        (1 if cfg.add_global_imgfeat else 0)
+
+    model = VoltaForVLTasks(cfg, task_cfg, (task,))
+    shapes = vexport._eval_arg_shapes(cfg, args.batch_size, seq_len,
+                                      region_len)
+    zeros = [np.zeros(s.shape, s.dtype) for s in shapes]
+    variables = jax.jit(lambda r: model.init(
+        r, zeros[0], zeros[1], zeros[2], task, zeros[3], zeros[4],
+        zeros[5]))(jax.random.PRNGKey(0))
+    if args.from_pretrained:
+        variables, report = from_pretrained(cfg, variables,
+                                            args.from_pretrained)
+        print(f"loaded {len(report['loaded'])} tensors")
+
+    exported = vexport.export_task_forward(
+        cfg, task_cfg, task, variables, args.batch_size, seq_len,
+        region_len, platforms=args.platforms)
+    vexport.save_exported(exported, args.out)
+    print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB, "
+          f"platforms={exported.platforms})")
+
+    if args.check:
+        back = vexport.load_exported(args.out)
+        out = np.asarray(back.call(*zeros))
+        print(f"check OK: output {out.shape} {out.dtype}, "
+              f"|mean|={abs(out.mean()):.4f}")
+
+
+if __name__ == "__main__":
+    main()

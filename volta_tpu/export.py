@@ -1,0 +1,97 @@
+"""Serving export: portable compiled artifacts for the eval forward.
+
+TPU-native serving path the reference has no equivalent of (its deployment
+story ends at ``torch.save``): the fine-tuned task forward — weights baked
+in as constants — is staged out through ``jax.export`` to a serialized
+StableHLO artifact that a serving process can load and call without the
+framework, the model zoo, or the Python model code (only jax + the target
+runtime). The artifact pins input shapes/dtypes and the target platforms,
+and round-trips through ``serialize``/``deserialize`` bytes.
+
+Notes:
+- With ``cfg.use_pallas`` the program contains Mosaic TPU custom calls,
+  which are not portable across platforms; exporting then requires
+  ``platforms=("tpu",)`` and opts in to the custom-call safety check.
+  For CPU-portable artifacts export with ``cfg.use_pallas = False`` (the
+  XLA path is numerically identical; the kernels are a throughput
+  optimization).
+- Classifier logits come out raw (no softmax), matching
+  ``VoltaForVLTasks.__call__``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .config import VoltaConfig
+
+
+def _eval_arg_shapes(cfg: VoltaConfig, batch_size: int, seq_len: int,
+                     region_len: int):
+    """ShapeDtypeStructs of the task-forward inputs, in call order:
+    (input_ids, image_feat, image_loc, token_type_ids, attention_mask,
+    image_attention_mask)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    b, l, r = batch_size, seq_len, region_len
+    return (
+        jax.ShapeDtypeStruct((b, l), i32),
+        jax.ShapeDtypeStruct((b, r, cfg.v_feature_size), f32),
+        jax.ShapeDtypeStruct((b, r, cfg.num_locs), f32),
+        jax.ShapeDtypeStruct((b, l), i32),
+        jax.ShapeDtypeStruct((b, l), i32),
+        jax.ShapeDtypeStruct((b, r), i32),
+    )
+
+
+def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
+                        batch_size: int, seq_len: int, region_len: int,
+                        platforms: Optional[Sequence[str]] = None):
+    """Stage the eval forward for one task out to a ``jax.export.Exported``.
+
+    ``variables`` is the full variable dict ({"params": ...}); the weights
+    are embedded in the artifact as constants. ``region_len`` must include
+    the global-image row if ``cfg.add_global_imgfeat`` is set (i.e. pass
+    the model-facing region count).
+    """
+    from .models import VoltaForVLTasks
+
+    model = VoltaForVLTasks(cfg, task_cfg, (task,))
+
+    def fwd(input_ids, image_feat, image_loc, token_type_ids,
+            attention_mask, image_attention_mask):
+        pred, _ = model.apply(variables, input_ids, image_feat, image_loc,
+                              task, token_type_ids, attention_mask,
+                              image_attention_mask)
+        return pred
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    if cfg.use_pallas:
+        if platforms is None or set(platforms) - {"tpu"}:
+            raise ValueError(
+                "use_pallas artifacts contain Mosaic TPU custom calls; "
+                "export with platforms=('tpu',) or set cfg.use_pallas=False "
+                "for a portable artifact")
+        kwargs["disabled_checks"] = [
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        ]
+    args = _eval_arg_shapes(cfg, batch_size, seq_len, region_len)
+    return jax.export.export(jax.jit(fwd), **kwargs)(*args)
+
+
+def save_exported(exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Load a saved artifact; returns the ``Exported`` — run it with
+    ``.call(input_ids, image_feat, image_loc, token_type_ids,
+    attention_mask, image_attention_mask)``."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read())
