@@ -187,6 +187,51 @@ def gen_retrieval(args):
           f"({args.images} images x {args.sentences} sentences)", flush=True)
 
 
+def gen_nlvr2(args):
+    """NLVR2-layout corpus: feature LMDB keyed ``<base>-img{0,1}`` (two
+    images per statement) + train jsonl with identifier/sentence/label
+    (reference: volta/datasets/nlvr2_dataset.py:34-41)."""
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    items, keys = [], []
+    for i in range(args.images):
+        for half in ("img0", "img1"):
+            key = f"synth-{i}-{half}".encode()
+            keys.append(key)
+            feats = (rng.randn(args.boxes, args.feat_dim) * 0.5).astype(
+                np.float32)
+            rec = {
+                "img_id": key.decode(), "img_h": 480, "img_w": 640,
+                "num_boxes": args.boxes,
+                "features": base64.b64encode(feats.tobytes()),
+                "boxes": base64.b64encode(
+                    _boxes(rng, args.boxes, 640, 480).tobytes()),
+            }
+            items.append((key, pickle.dumps(rec)))
+    items.append((b"keys", pickle.dumps(keys)))
+    path = os.path.join(args.out, "features.lmdb")
+    lmdbx.write(path, items)
+    print(f"features LMDB: {2 * args.images} images, "
+          f"{os.path.getsize(path) / 2**30:.2f} GiB", flush=True)
+
+    with open(os.path.join(args.out, "train.json"), "w") as f:
+        for k in range(args.questions):
+            i = int(rng.randint(args.images))
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(5, 12))]
+            f.write(json.dumps({
+                "identifier": f"synth-{i}-{k}",
+                "sentence": "there are " + " ".join(words),
+                "label": "True" if rng.rand() < 0.5 else "False",
+            }) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"nlvr2 synth done in {time.time() - t0:.0f}s -> {args.out}",
+          flush=True)
+
+
 def gen_vcr(args):
     """VCR-layout corpus: det + GT feature LMDBs keyed ``m<i>.jpg``,
     per-image metadata jsons with det-tag name lists, and train jsonl with
@@ -318,7 +363,7 @@ def gen_cc(args):
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("vqa", "cc", "gqa", "retrieval", "vcr"):
+    for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -333,11 +378,12 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
-        if name == "vcr":
+        if name in ("vcr", "nlvr2"):
             sp.add_argument("--questions", type=int, default=20000)
     args = p.parse_args()
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
-     "retrieval": gen_retrieval, "vcr": gen_vcr}[args.cmd](args)
+     "retrieval": gen_retrieval, "vcr": gen_vcr,
+     "nlvr2": gen_nlvr2}[args.cmd](args)
 
 
 if __name__ == "__main__":
