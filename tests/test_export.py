@@ -120,3 +120,26 @@ TASK1:
         spec.loader.exec_module(mod)
         mod.main()
     assert os.path.getsize(out) > 1000
+
+
+def test_export_polymorphic_batch(tmp_path):
+    """batch_size='b' serves any batch size from one artifact."""
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    l, r = 10, 7
+    b4 = _batch(cfg, 4, l, r)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(0), b4[0], b4[1], b4[2],
+                           "TASK1", b4[3], b4[4], b4[5])
+    exported = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                           variables, "b", l, r)
+    path = os.path.join(str(tmp_path), "poly.stablehlo")
+    vexport.save_exported(exported, path)
+    back = vexport.load_exported(path)
+    for b in (1, 4, 9):
+        batch = _batch(cfg, b, l, r, seed=b)
+        live, _ = model.apply(variables, batch[0], batch[1], batch[2],
+                              "TASK1", batch[3], batch[4], batch[5])
+        np.testing.assert_allclose(np.asarray(back.call(*batch)),
+                                   np.asarray(live), rtol=1e-4, atol=1e-5)

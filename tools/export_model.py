@@ -29,7 +29,9 @@ def main():
     p.add_argument("--task", required=True)
     p.add_argument("--from_pretrained", default="")
     p.add_argument("--out", required=True)
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", default="32",
+                   help="int, or a symbolic dim like 'b' for a "
+                        "batch-polymorphic artifact")
     p.add_argument("--seq_len", type=int, default=0,
                    help="default: the task's max_seq_length")
     p.add_argument("--platforms", nargs="*", default=None,
@@ -62,7 +64,10 @@ def main():
         (1 if cfg.add_global_imgfeat else 0)
 
     model = VoltaForVLTasks(cfg, task_cfg, (task,))
-    shapes = vexport._eval_arg_shapes(cfg, args.batch_size, seq_len,
+    bs = args.batch_size if not args.batch_size.isdigit() \
+        else int(args.batch_size)
+    init_bs = bs if isinstance(bs, int) else 2
+    shapes = vexport._eval_arg_shapes(cfg, init_bs, seq_len,
                                       region_len)
     zeros = [np.zeros(s.shape, s.dtype) for s in shapes]
     variables = jax.jit(lambda r: model.init(
@@ -74,7 +79,7 @@ def main():
         print(f"loaded {len(report['loaded'])} tensors")
 
     exported = vexport.export_task_forward(
-        cfg, task_cfg, task, variables, args.batch_size, seq_len,
+        cfg, task_cfg, task, variables, bs, seq_len,
         region_len, platforms=args.platforms)
     vexport.save_exported(exported, args.out)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB, "

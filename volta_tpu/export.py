@@ -29,14 +29,17 @@ import jax.numpy as jnp
 from .config import VoltaConfig
 
 
-def _eval_arg_shapes(cfg: VoltaConfig, batch_size: int, seq_len: int,
+def _eval_arg_shapes(cfg: VoltaConfig, batch_size, seq_len: int,
                      region_len: int):
     """ShapeDtypeStructs of the task-forward inputs, in call order:
     (input_ids, image_feat, image_loc, token_type_ids, attention_mask,
-    image_attention_mask)."""
+    image_attention_mask). ``batch_size`` may be an int or a symbolic-dim
+    string (e.g. ``"b"``) for a batch-polymorphic artifact."""
     f32 = jnp.float32
     i32 = jnp.int32
     b, l, r = batch_size, seq_len, region_len
+    if isinstance(b, str):
+        (b,) = jax.export.symbolic_shape(b)
     return (
         jax.ShapeDtypeStruct((b, l), i32),
         jax.ShapeDtypeStruct((b, r, cfg.v_feature_size), f32),
@@ -48,14 +51,16 @@ def _eval_arg_shapes(cfg: VoltaConfig, batch_size: int, seq_len: int,
 
 
 def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
-                        batch_size: int, seq_len: int, region_len: int,
+                        batch_size, seq_len: int, region_len: int,
                         platforms: Optional[Sequence[str]] = None):
     """Stage the eval forward for one task out to a ``jax.export.Exported``.
 
     ``variables`` is the full variable dict ({"params": ...}); the weights
     are embedded in the artifact as constants. ``region_len`` must include
     the global-image row if ``cfg.add_global_imgfeat`` is set (i.e. pass
-    the model-facing region count).
+    the model-facing region count). ``batch_size="b"`` exports a
+    batch-polymorphic artifact that serves any batch size (sequence and
+    region dims stay pinned — fixed shapes are the TPU contract there).
     """
     from .models import VoltaForVLTasks
 
