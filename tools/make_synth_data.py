@@ -187,6 +187,75 @@ def gen_retrieval(args):
           f"({args.images} images x {args.sentences} sentences)", flush=True)
 
 
+def gen_visual7w(args):
+    """Visual7w-pointing-layout corpus: dataset.json (boxes + images with
+    4-way pointing qa_pairs) plus det (100-box) and GT feature LMDBs keyed
+    by image id; GT records store the image's candidate boxes in sorted
+    box-id order (reference: visual7w_pointing_dataset.py:243-292 — the
+    V-logit-mc head gathers target slots at det_off=101 + choice index)."""
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    gt_per_img = 8
+    boxes_json, images_json = [], []
+    gt_items, gt_keys = [], []
+    det_items, det_keys = [], []
+    qa_id = 0
+    for i in range(args.images):
+        image_id = 2000000 + i
+        key = str(image_id).encode()
+        ids = [image_id * 100 + j for j in range(gt_per_img)]
+        gt_boxes = _boxes(rng, gt_per_img, 640, 480)
+        for bid, bb in zip(ids, gt_boxes):
+            boxes_json.append({"box_id": bid, "x": float(bb[0]),
+                               "y": float(bb[1]),
+                               "width": float(bb[2] - bb[0]),
+                               "height": float(bb[3] - bb[1])})
+        qa_pairs = []
+        for _ in range(args.qa_per_image):
+            cand = rng.choice(gt_per_img, 4, replace=False)
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(3, 6))]
+            qa_pairs.append({
+                "qa_id": qa_id,
+                "question": "which " + " ".join(words) + " ?",
+                "multiple_choices": [ids[int(c)] for c in cand[1:]],
+                "answer": ids[int(cand[0])]})
+            qa_id += 1
+        images_json.append({"split": "train", "image_id": image_id,
+                            "qa_pairs": qa_pairs})
+        # GT store: candidate boxes in sorted box-id order (= generation
+        # order here); det store: 100 detector boxes
+        gt_keys.append(key)
+        gt_items.append((key, pickle.dumps({
+            "img_id": image_id, "img_h": 480, "img_w": 640,
+            "num_boxes": gt_per_img,
+            "features": base64.b64encode(
+                (rng.randn(gt_per_img, args.feat_dim) * 0.5).astype(
+                    np.float32).tobytes()),
+            "boxes": base64.b64encode(gt_boxes.tobytes())})))
+        det_keys.append(key)
+        det_items.append((key, pickle.dumps({
+            "img_id": image_id, "img_h": 480, "img_w": 640,
+            "num_boxes": 100,
+            "features": base64.b64encode(
+                (rng.randn(100, args.feat_dim) * 0.5).astype(
+                    np.float32).tobytes()),
+            "boxes": base64.b64encode(
+                _boxes(rng, 100, 640, 480).tobytes())})))
+    det_items.append((b"keys", pickle.dumps(det_keys)))
+    gt_items.append((b"keys", pickle.dumps(gt_keys)))
+    lmdbx.write(os.path.join(args.out, "v7w_feat.lmdb"), det_items)
+    lmdbx.write(os.path.join(args.out, "v7w_gt_feat.lmdb"), gt_items)
+    json.dump({"boxes": boxes_json, "images": images_json},
+              open(os.path.join(args.out, "dataset.json"), "w"))
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"visual7w synth done in {time.time() - t0:.0f}s -> {args.out} "
+          f"({args.images} images, {qa_id} qa)", flush=True)
+
+
 def gen_nlvr2(args):
     """NLVR2-layout corpus: feature LMDB keyed ``<base>-img{0,1}`` (two
     images per statement) + train jsonl with identifier/sentence/label
@@ -363,7 +432,8 @@ def gen_cc(args):
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2"):
+    for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
+                 "visual7w"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -380,10 +450,12 @@ def main():
             sp.add_argument("--sentences", type=int, default=5)
         if name in ("vcr", "nlvr2"):
             sp.add_argument("--questions", type=int, default=20000)
+        if name == "visual7w":
+            sp.add_argument("--qa_per_image", type=int, default=3)
     args = p.parse_args()
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
      "retrieval": gen_retrieval, "vcr": gen_vcr,
-     "nlvr2": gen_nlvr2}[args.cmd](args)
+     "nlvr2": gen_nlvr2, "visual7w": gen_visual7w}[args.cmd](args)
 
 
 if __name__ == "__main__":
