@@ -256,6 +256,29 @@ def gen_visual7w(args):
           f"({args.images} images, {qa_id} qa)", flush=True)
 
 
+def gen_snli_ve(args):
+    """SNLI-VE-layout annotations over an existing ``vqa`` features store:
+    jsonl with Flickr30K_ID / sentence2 / annotator_labels (reference:
+    volta/datasets/visual_entailment_dataset.py)."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    label_names = ["contradiction", "neutral", "entailment"]
+    with open(os.path.join(args.out, "snli_ve_train.jsonl"), "w") as f:
+        for _ in range(args.questions):
+            iid = 1000000 + int(rng.randint(args.images))
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(5, 12))]
+            votes = [label_names[int(v)]
+                     for v in rng.randint(0, 3, rng.randint(1, 5))]
+            f.write(json.dumps({
+                "Flickr30K_ID": str(iid),
+                "sentence2": "a person " + " ".join(words),
+                "annotator_labels": votes,
+                "gold_label": votes[0]}) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"snli_ve synth done -> {args.out}", flush=True)
+
+
 def gen_nlvr2(args):
     """NLVR2-layout corpus: feature LMDB keyed ``<base>-img{0,1}`` (two
     images per statement) + train jsonl with identifier/sentence/label
@@ -433,7 +456,7 @@ def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
-                 "visual7w"):
+                 "visual7w", "snli_ve"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -448,14 +471,15 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
-        if name in ("vcr", "nlvr2"):
+        if name in ("vcr", "nlvr2", "snli_ve"):
             sp.add_argument("--questions", type=int, default=20000)
         if name == "visual7w":
             sp.add_argument("--qa_per_image", type=int, default=3)
     args = p.parse_args()
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
      "retrieval": gen_retrieval, "vcr": gen_vcr,
-     "nlvr2": gen_nlvr2, "visual7w": gen_visual7w}[args.cmd](args)
+     "nlvr2": gen_nlvr2, "visual7w": gen_visual7w,
+     "snli_ve": gen_snli_ve}[args.cmd](args)
 
 
 if __name__ == "__main__":
