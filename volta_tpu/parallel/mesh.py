@@ -116,6 +116,18 @@ def state_shardings(mesh: Mesh, state):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded along the data axis."""
+    """Place a host batch onto the mesh, sharded along the data axis.
+
+    Single-process: ``device_put`` of the full batch. Multi-process (real
+    multi-host or the 2-process CPU simulation in
+    tests/test_multihost_sim.py): each host's loader yields only its local
+    shard (task_utils.py per-host ``num_shards``), so the global array is
+    assembled from the process-local data — a plain ``device_put`` there
+    would silently treat each host's local batch as the global one.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
