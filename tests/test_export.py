@@ -51,12 +51,22 @@ def test_export_matches_live_forward(tmp_path):
     live, _ = model.apply(variables, batch[0], batch[1], batch[2], "TASK1",
                           batch[3], batch[4], batch[5])
 
+    # baked mode: self-contained artifact, .call(*batch)
     exported = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
-                                           variables, b, l, r)
+                                           variables, b, l, r,
+                                           bake_weights=True)
     # compilation through the export path may fuse differently -> float
     # noise at the 1e-8 level; semantics must match
     np.testing.assert_allclose(np.asarray(exported.call(*batch)),
                                np.asarray(live), rtol=1e-5, atol=1e-6)
+
+    # parameterized mode (default): .call(variables, *batch), ~KB artifact
+    exported_p = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                             variables, b, l, r)
+    np.testing.assert_allclose(np.asarray(exported_p.call(variables,
+                                                          *batch)),
+                               np.asarray(live), rtol=1e-5, atol=1e-6)
+    assert len(exported_p.serialize()) < len(exported.serialize())
 
     # serialize -> file -> deserialize -> same result
     path = os.path.join(str(tmp_path), "m.stablehlo")
@@ -141,5 +151,5 @@ def test_export_polymorphic_batch(tmp_path):
         batch = _batch(cfg, b, l, r, seed=b)
         live, _ = model.apply(variables, batch[0], batch[1], batch[2],
                               "TASK1", batch[3], batch[4], batch[5])
-        np.testing.assert_allclose(np.asarray(back.call(*batch)),
+        np.testing.assert_allclose(np.asarray(back.call(variables, *batch)),
                                    np.asarray(live), rtol=1e-4, atol=1e-5)

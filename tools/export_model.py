@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Export a fine-tuned task model to a serving artifact (StableHLO).
 
-Builds the model from a config + checkpoint, bakes the weights in, and
-writes a serialized ``jax.export`` artifact a serving process can load
-with ``volta_tpu.export.load_exported`` (or plain
-``jax.export.deserialize``) — no model code needed at serving time.
+Builds the model from a config + checkpoint and writes a serialized
+``jax.export`` artifact a serving process can load with
+``volta_tpu.export.load_exported`` (or plain ``jax.export.deserialize``)
+— no model code needed at serving time. Default artifact is
+parameterized (call as ``(variables, *batch)``; weights ship separately);
+``--bake_weights`` embeds them for a single-file deployment.
 
 Usage:
   python tools/export_model.py --config_file configs/ctrl_uniter_base.json \
@@ -37,11 +39,21 @@ def main():
     p.add_argument("--platforms", nargs="*", default=None,
                    help="target platforms (default: current backend); "
                         "non-tpu targets force the XLA (no-pallas) path")
+    p.add_argument("--bake_weights", action="store_true",
+                   help="embed the weights as constants (self-contained "
+                        "single-file artifact, hundreds of MB); default "
+                        "is a parameterized artifact called as "
+                        "(variables, *batch)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--use_pallas", action="store_true",
                    help="keep the Mosaic kernels in the artifact "
                         "(tpu-only serving)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a zero batch")
+    p.add_argument("--bench", type=int, default=0,
+                   help="with --check: time N serving calls and print "
+                        "samples/sec")
     args = p.parse_args()
 
     import jax
@@ -53,6 +65,7 @@ def main():
     from volta_tpu.task_utils import load_task_config, task_key
 
     cfg = VoltaConfig.from_json_file(args.config_file)
+    cfg.compute_dtype = args.compute_dtype
     cfg.use_pallas = bool(args.use_pallas)
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
@@ -80,16 +93,38 @@ def main():
 
     exported = vexport.export_task_forward(
         cfg, task_cfg, task, variables, bs, seq_len,
-        region_len, platforms=args.platforms)
+        region_len, platforms=args.platforms,
+        bake_weights=args.bake_weights)
     vexport.save_exported(exported, args.out)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB, "
           f"platforms={exported.platforms})")
 
     if args.check:
         back = vexport.load_exported(args.out)
-        out = np.asarray(back.call(*zeros))
+        call = back.call if args.bake_weights else \
+            (lambda *b: back.call(variables, *b))
+        out = np.asarray(call(*zeros))
         print(f"check OK: output {out.shape} {out.dtype}, "
-              f"|mean|={abs(out.mean()):.4f}")
+              f"|mean|={abs(float(out.astype(np.float32).mean())):.4f}")
+        if args.bench:
+            import time
+
+            dev_zeros = jax.device_put(tuple(zeros))
+            if args.bake_weights:
+                raw = jax.jit(back.call)
+                fn = lambda: raw(*dev_zeros)
+            else:
+                dev_vars = jax.device_put(variables)
+                raw = jax.jit(back.call)
+                fn = lambda: raw(dev_vars, *dev_zeros)
+            float(np.asarray(fn()).ravel()[0])  # compile
+            t0 = time.perf_counter()
+            for _ in range(args.bench):
+                o = fn()
+            float(np.asarray(o).ravel()[0])
+            dt = (time.perf_counter() - t0) / args.bench
+            print(f"serving bench: {dt * 1000:.2f} ms/call, "
+                  f"{zeros[0].shape[0] / dt:.0f} samples/sec")
 
 
 if __name__ == "__main__":

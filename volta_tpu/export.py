@@ -1,12 +1,14 @@
 """Serving export: portable compiled artifacts for the eval forward.
 
 TPU-native serving path the reference has no equivalent of (its deployment
-story ends at ``torch.save``): the fine-tuned task forward — weights baked
-in as constants — is staged out through ``jax.export`` to a serialized
-StableHLO artifact that a serving process can load and call without the
-framework, the model zoo, or the Python model code (only jax + the target
-runtime). The artifact pins input shapes/dtypes and the target platforms,
-and round-trips through ``serialize``/``deserialize`` bytes.
+story ends at ``torch.save``): the fine-tuned task forward is staged out
+through ``jax.export`` to a serialized StableHLO artifact that a serving
+process can load and call without the framework, the model zoo, or the
+Python model code (only jax + the target runtime). The artifact pins input
+shapes/dtypes and the target platforms, and round-trips through
+``serialize``/``deserialize`` bytes. Default is a *parameterized* artifact
+(weights passed at call time, ~KB StableHLO); ``bake_weights=True`` embeds
+them as constants for a single-file deployment.
 
 Notes:
 - With ``cfg.use_pallas`` the program contains Mosaic TPU custom calls,
@@ -52,26 +54,42 @@ def _eval_arg_shapes(cfg: VoltaConfig, batch_size, seq_len: int,
 
 def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
                         batch_size, seq_len: int, region_len: int,
-                        platforms: Optional[Sequence[str]] = None):
+                        platforms: Optional[Sequence[str]] = None,
+                        bake_weights: bool = False):
     """Stage the eval forward for one task out to a ``jax.export.Exported``.
 
-    ``variables`` is the full variable dict ({"params": ...}); the weights
-    are embedded in the artifact as constants. ``region_len`` must include
-    the global-image row if ``cfg.add_global_imgfeat`` is set (i.e. pass
-    the model-facing region count). ``batch_size="b"`` exports a
-    batch-polymorphic artifact that serves any batch size (sequence and
-    region dims stay pinned — fixed shapes are the TPU contract there).
+    ``variables`` is the full variable dict ({"params": ...}).
+    ``region_len`` must include the global-image row if
+    ``cfg.add_global_imgfeat`` is set (i.e. pass the model-facing region
+    count). ``batch_size="b"`` exports a batch-polymorphic artifact that
+    serves any batch size (sequence and region dims stay pinned — fixed
+    shapes are the TPU contract there).
+
+    By default the artifact is *parameterized*: ``.call(variables, *batch)``
+    — the StableHLO stays ~KB-sized and weights ship separately (Orbax /
+    torch import), so a weight refresh needs no re-export and the compile
+    payload stays small. ``bake_weights=True`` embeds the weights as
+    constants for a fully self-contained ``.call(*batch)`` artifact
+    (hundreds of MB at BERT-base scale).
     """
     from .models import VoltaForVLTasks
 
     model = VoltaForVLTasks(cfg, task_cfg, (task,))
 
-    def fwd(input_ids, image_feat, image_loc, token_type_ids,
-            attention_mask, image_attention_mask):
-        pred, _ = model.apply(variables, input_ids, image_feat, image_loc,
-                              task, token_type_ids, attention_mask,
-                              image_attention_mask)
-        return pred
+    if bake_weights:
+        def fwd(input_ids, image_feat, image_loc, token_type_ids,
+                attention_mask, image_attention_mask):
+            pred, _ = model.apply(variables, input_ids, image_feat,
+                                  image_loc, task, token_type_ids,
+                                  attention_mask, image_attention_mask)
+            return pred
+    else:
+        def fwd(variables_, input_ids, image_feat, image_loc,
+                token_type_ids, attention_mask, image_attention_mask):
+            pred, _ = model.apply(variables_, input_ids, image_feat,
+                                  image_loc, task, token_type_ids,
+                                  attention_mask, image_attention_mask)
+            return pred
 
     kwargs = {}
     if platforms is not None:
@@ -86,6 +104,10 @@ def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
             jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         ]
     args = _eval_arg_shapes(cfg, batch_size, seq_len, region_len)
+    if not bake_weights:
+        var_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), variables)
+        args = (var_shapes,) + args
     return jax.export.export(jax.jit(fwd), **kwargs)(*args)
 
 
