@@ -61,6 +61,14 @@ def collect_results(task_type, prediction, batch, info, dataset, results):
         for qid, row in zip(qids, probs):
             results.append({"question_id": int(qid),
                             "answer": [float(p) for p in row]})
+    elif task_type == "V-logit-mc":
+        # gather the candidate logits among the 101.. trailing region
+        # slots and dump the chosen candidate index
+        # (reference: volta/task_utils.py:595-606)
+        mc = np.asarray(batch["multi_choice_ids"])
+        logit = np.take_along_axis(pred[:, 101:, 0], mc, 1)
+        for qid, s in zip(qids, logit.argmax(1)):
+            results.append({"id": int(qid), "target": int(s)})
     elif task_type.startswith("V-logit"):
         sel = pred[..., 0].argmax(1)
         tgt = np.asarray(batch["target"])[..., 0]

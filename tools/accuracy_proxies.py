@@ -442,12 +442,56 @@ def concap_proxy(epochs=20):
             "final_loss": last, "n_log_lines": len(losses), "ok": bool(ok)}
 
 
+# ----------------------------------------------------------------- proxy 6
+def pointing_proxy(epochs=80):
+    """Visual7w pointing overfit (V-logit-mc head, det+GT merged regions,
+    101-slot candidate gather) — extends the proxy matrix beyond the 5
+    driver configs to the pointing family."""
+    import types
+
+    from volta_tpu import zoo
+    from tools.make_synth_data import gen_visual7w
+
+    tmp = tempfile.mkdtemp(prefix="proxy_v7w_")
+    gen_visual7w(types.SimpleNamespace(out=tmp, images=12, feat_dim=32,
+                                       seed=0, qa_per_image=8))
+    vocab = os.path.join(tmp, "vocab.txt")
+    cfg = zoo.vilbert(depth_text=4, cross_start=2,
+                      vocab_size=vocab_size(vocab), **SMALL)
+    cfg_path = write_cfg(tmp, cfg)
+    yml = task_yml(tmp, 4, f"""
+  name: Visual7w
+  type: V-logit-mc
+  loss: BCEWithLogitLoss
+  process: normal
+  dataroot: {tmp}
+  features_h5path1: {tmp}/v7w_feat.lmdb
+  features_h5path2: {tmp}/v7w_gt_feat.lmdb
+  train_annotations_jsonpath: ''
+  val_annotations_jsonpath: ''
+  max_seq_length: 12
+  max_region_num: 120
+  batch_size: 32
+  eval_batch_size: 32
+  train_split: train
+  val_split: train
+  lr: 0.001
+""")
+    scores = run_train(tmp, cfg_path, yml, vocab, 4, epochs)
+    best = max(s for _, _, s in scores) / 100.0
+    dump = run_eval(tmp, cfg_path, yml, vocab, 4)
+    ok = best >= 0.9 and len(dump) == 96
+    return {"proxy": "vilbert-Visual7wPointing", "train_score": best,
+            "dump_records": len(dump), "ok": bool(ok)}
+
+
 PROXIES = {
     "visualbert_vqa": lambda: qa_proxy("ctrl_visualbert"),
     "uniter_retrieval": retrieval_proxy,
     "vilbert_nlvr2": nlvr2_proxy,
     "lxmert_gqa": lambda: qa_proxy("lxmert", string_qids=True),
     "vilbert_concap": concap_proxy,
+    "vilbert_pointing": pointing_proxy,
 }
 
 
