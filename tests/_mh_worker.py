@@ -39,6 +39,7 @@ def main():
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     import jax
 
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=2, process_id=pid)
     import numpy as np

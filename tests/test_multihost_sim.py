@@ -51,6 +51,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
     import jax
 
+    # earlier CLI tests may have switched the process-wide PRNG impl (rbg);
+    # the workers use threefry, so pin it for the in-process reference too
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
     from volta_tpu import zoo
     from volta_tpu.models import VoltaForVLTasks
     from volta_tpu.optimization import build_optimizer, \
