@@ -256,6 +256,58 @@ def gen_visual7w(args):
           f"({args.images} images, {qa_id} qa)", flush=True)
 
 
+def gen_refcoco(args):
+    """RefCOCO+-layout REFER corpus: refs(unc).p pickle + instances.json
+    (ann boxes) + a det-feature LMDB keyed by image id (reference:
+    tools/refer/refer.py + volta/datasets/refer_expression_dataset.py).
+    Each ref's box coincides with one detector box so the V-logit IoU
+    target has a 1.0 slot."""
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    refs, anns = [], []
+    items, keys = [], []
+    sent_id = 0
+    for i in range(args.images):
+        image_id = 3000000 + i
+        det_boxes = _boxes(rng, args.boxes, 640, 480)
+        key = str(image_id).encode()
+        keys.append(key)
+        items.append((key, pickle.dumps({
+            "img_id": image_id, "img_h": 480, "img_w": 640,
+            "num_boxes": args.boxes,
+            "features": base64.b64encode(
+                (rng.randn(args.boxes, args.feat_dim) * 0.5).astype(
+                    np.float32).tobytes()),
+            "boxes": base64.b64encode(det_boxes.tobytes())})))
+        for r in range(args.refs_per_image):
+            k = int(rng.randint(args.boxes))
+            bb = det_boxes[k]
+            ann_id = image_id * 10 + r
+            anns.append({"id": ann_id,
+                         "bbox": [float(bb[0]), float(bb[1]),
+                                  float(bb[2] - bb[0]),
+                                  float(bb[3] - bb[1])]})
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), rng.randint(2, 6))]
+            refs.append({"split": "train", "ann_id": ann_id,
+                         "image_id": image_id, "ref_id": ann_id,
+                         "sentences": [{"raw": "the " + " ".join(words)}],
+                         "sent_ids": [sent_id]})
+            sent_id += 1
+    items.append((b"keys", pickle.dumps(keys)))
+    lmdbx.write(os.path.join(args.out, "refcoco+_feat.lmdb"), items)
+    with open(os.path.join(args.out, "refs(unc).p"), "wb") as f:
+        pickle.dump(refs, f)
+    json.dump({"annotations": anns},
+              open(os.path.join(args.out, "instances.json"), "w"))
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"refcoco synth done in {time.time() - t0:.0f}s -> {args.out} "
+          f"({args.images} images, {sent_id} refs)", flush=True)
+
+
 def gen_snli_ve(args):
     """SNLI-VE-layout annotations over an existing ``vqa`` features store:
     jsonl with Flickr30K_ID / sentence2 / annotator_labels (reference:
@@ -456,7 +508,7 @@ def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
-                 "visual7w", "snli_ve"):
+                 "visual7w", "snli_ve", "refcoco"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -475,11 +527,13 @@ def main():
             sp.add_argument("--questions", type=int, default=20000)
         if name == "visual7w":
             sp.add_argument("--qa_per_image", type=int, default=3)
+        if name == "refcoco":
+            sp.add_argument("--refs_per_image", type=int, default=3)
     args = p.parse_args()
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
      "retrieval": gen_retrieval, "vcr": gen_vcr,
      "nlvr2": gen_nlvr2, "visual7w": gen_visual7w,
-     "snli_ve": gen_snli_ve}[args.cmd](args)
+     "snli_ve": gen_snli_ve, "refcoco": gen_refcoco}[args.cmd](args)
 
 
 if __name__ == "__main__":
