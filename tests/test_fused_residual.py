@@ -74,7 +74,19 @@ def test_backward_kernel_vs_autodiff_with_mask():
     rstd = jax.lax.rsqrt(var + 1e-12)
 
     res = (od, x, scale, mean, rstd, (n, d))
-    do, dx, dscale, dbias, _ = fr._bwd_call(rate, 1e-12, True, res, g)
+    do, dx, dscale, dbias, _ = fr._bwd_call(rate, 1e-12, True, "pallas",
+                                            res, g)
+    # the XLA backward must agree with the Pallas backward kernel
+    do2, dx2, dscale2, dbias2, _ = fr._bwd_call(rate, 1e-12, True, "xla",
+                                                res, g)
+    np.testing.assert_allclose(np.asarray(do2), np.asarray(do),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dscale2), np.asarray(dscale),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(dbias2), np.asarray(dbias),
+                               atol=2e-2, rtol=2e-2)
 
     def f(o_, x_, scale_, bias_):
         od_ = jnp.where(mask, o_ / (1.0 - rate), 0.0).astype(

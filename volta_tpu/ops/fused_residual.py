@@ -133,7 +133,38 @@ def _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret=False):
     return y.reshape(o.shape), (od, x2, scale, mean, rstd, o.shape)
 
 
-def _bwd_call(rate, eps, interpret, res, g):
+def _bwd_xla(rate, res, g):
+    """XLA backward from the kernel-saved residuals. Measured faster than
+    the Pallas bwd kernel at base shapes (tools/microbench_resln.py — the
+    bwd is reduction-heavy VPU work XLA schedules well), so it is the
+    default; the Pallas bwd stays selectable via ``bwd_impl``."""
+    od, x2, scale, mean, rstd, orig_shape = res
+    g2 = g.reshape(x2.shape).astype(jnp.float32)
+    od32 = od.astype(jnp.float32)
+    s = od32 + x2.astype(jnp.float32)
+    xhat = (s - mean) * rstd
+    gs = g2 * scale.astype(jnp.float32)
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    ds = rstd * (gs - m1 - xhat * m2)
+    dx = ds.astype(g.dtype)
+    if rate > 0.0:
+        do = (ds * jnp.where(od32 != 0.0, 1.0 / (1.0 - rate),
+                             0.0)).astype(g.dtype)
+    else:
+        do = dx
+    dscale = jnp.sum(g2 * xhat, axis=0)
+    dbias = jnp.sum(g2, axis=0)
+    import numpy as _np
+
+    dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
+    return (do.reshape(orig_shape), dx.reshape(orig_shape), dscale, dbias,
+            dseed)
+
+
+def _bwd_call(rate, eps, interpret, bwd_impl, res, g):
+    if bwd_impl == "xla":
+        return _bwd_xla(rate, res, g)
     od, x2, scale, mean, rstd, orig_shape = res
     n, d = x2.shape
     g2 = g.reshape(n, d)
@@ -167,12 +198,13 @@ def _bwd_call(rate, eps, interpret, res, g):
             dseed)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _dropout_residual_ln(o, x, scale, bias, seed_arr, rate, eps, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _dropout_residual_ln(o, x, scale, bias, seed_arr, rate, eps, interpret,
+                         bwd_impl):
     return _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret)[0]
 
 
-def _fwd_rule(o, x, scale, bias, seed_arr, rate, eps, interpret):
+def _fwd_rule(o, x, scale, bias, seed_arr, rate, eps, interpret, bwd_impl):
     return _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret)
 
 
@@ -180,17 +212,21 @@ _dropout_residual_ln.defvjp(_fwd_rule, _bwd_call)
 
 
 def dropout_residual_ln(o, x, scale, bias, seed, rate: float,
-                        eps: float = LN_EPS, interpret: bool = False):
+                        eps: float = LN_EPS, interpret: bool = False,
+                        bwd_impl: str = "xla"):
     """``LayerNorm(dropout(o) + x)`` in one fused kernel per direction.
 
     ``o`` is the dense-branch output, ``x`` the residual stream (same
     shape, last dim normalized). ``seed`` is an int32 scalar; the kernel
     mixes in its row-tile program id. Shapes must satisfy
     ``supported(o)``; callers fall back to the XLA composition otherwise.
+    ``bwd_impl`` selects the backward: "xla" (default, faster at base
+    shapes) recomputes the LN VJP in XLA from the kernel-saved residuals;
+    "pallas" uses the fused backward kernel.
     """
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     return _dropout_residual_ln(o, x, scale, bias, seed_arr, float(rate),
-                                float(eps), interpret)
+                                float(eps), interpret, bwd_impl)
 
 
 def supported(o) -> bool:
