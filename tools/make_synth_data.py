@@ -308,6 +308,31 @@ def gen_refcoco(args):
           f"({args.images} images, {sent_id} refs)", flush=True)
 
 
+def gen_guesswhat(args):
+    """GuessWhat?!-layout oracle annotations over an existing ``vqa``
+    features store: jsonl dialogs with qas turns answered Yes/No/N/A
+    (reference: volta/datasets/guesswhat_dataset.py:28-55)."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    answers = ["Yes", "No", "N/A"]
+    qid = 0
+    with open(os.path.join(args.out, "guesswhat.train.jsonl"), "w") as f:
+        n_dialogs = max(1, args.questions // 4)
+        for _ in range(n_dialogs):
+            iid = 1000000 + int(rng.randint(args.images))
+            qas = []
+            for _ in range(int(rng.randint(2, 7))):
+                words = [WORD_STEMS[int(j)] for j in
+                         rng.randint(0, len(WORD_STEMS), rng.randint(3, 8))]
+                qas.append({"id": qid,
+                            "question": "is it " + " ".join(words) + " ?",
+                            "answer": answers[int(rng.randint(3))]})
+                qid += 1
+            f.write(json.dumps({"image": {"id": iid}, "qas": qas}) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"guesswhat synth done -> {args.out} ({qid} qa turns)", flush=True)
+
+
 def gen_snli_ve(args):
     """SNLI-VE-layout annotations over an existing ``vqa`` features store:
     jsonl with Flickr30K_ID / sentence2 / annotator_labels (reference:
@@ -508,7 +533,7 @@ def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
-                 "visual7w", "snli_ve", "refcoco"):
+                 "visual7w", "snli_ve", "refcoco", "guesswhat"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -523,7 +548,7 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
-        if name in ("vcr", "nlvr2", "snli_ve"):
+        if name in ("vcr", "nlvr2", "snli_ve", "guesswhat"):
             sp.add_argument("--questions", type=int, default=20000)
         if name == "visual7w":
             sp.add_argument("--qa_per_image", type=int, default=3)
@@ -533,7 +558,8 @@ def main():
     {"vqa": gen_vqa, "cc": gen_cc, "gqa": gen_gqa,
      "retrieval": gen_retrieval, "vcr": gen_vcr,
      "nlvr2": gen_nlvr2, "visual7w": gen_visual7w,
-     "snli_ve": gen_snli_ve, "refcoco": gen_refcoco}[args.cmd](args)
+     "snli_ve": gen_snli_ve, "refcoco": gen_refcoco,
+     "guesswhat": gen_guesswhat}[args.cmd](args)
 
 
 if __name__ == "__main__":
