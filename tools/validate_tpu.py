@@ -106,12 +106,14 @@ def main():
         *a, 0, 0.0))(o, xr, sc, b))
     yr = np.asarray(layer_norm_ref(o + xr, sc, b))
     np.testing.assert_allclose(y0, yr, rtol=2e-5, atol=2e-5)
-    gk = jax.jit(jax.grad(lambda o_: jnp.sum(jnp.sin(
-        fr.dropout_residual_ln(o_, xr, sc, b, 0, 0.0)))))(o)
     gr2 = jax.jit(jax.grad(lambda o_: jnp.sum(jnp.sin(
         layer_norm_ref(o_ + xr, sc, b)))))(o)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr2), rtol=1e-4,
-                               atol=1e-5)
+    for impl in ("xla", "pallas"):
+        gk = jax.jit(jax.grad(lambda o_: jnp.sum(jnp.sin(
+            fr.dropout_residual_ln(o_, xr, sc, b, 0, 0.0,
+                                   bwd_impl=impl)))))(o)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr2),
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
     # rate>0: determinism per seed, drop fraction, VJP mask consistency.
     # dL/dbias == column-sums of g independent of the mask; dL/dx must use
     # the same LN statistics as the forward (checked via value/grad in one
