@@ -308,6 +308,77 @@ def gen_refcoco(args):
           f"({args.images} images, {sent_id} refs)", flush=True)
 
 
+def gen_flickr_grounding(args):
+    """Flickr30k-Entities-layout grounding corpus: {split}.txt image list,
+    Annotations/<img>.xml box files (object name = phrase id),
+    Sentences/<img>.txt with [/EN#id/type phrase] span markup, plus det +
+    GT feature LMDBs (reference: volta/datasets/
+    flickr_grounding_dataset.py:60-183)."""
+    from volta_tpu.data import lmdbx
+
+    os.makedirs(args.out, exist_ok=True)
+    ann_dir = os.path.join(args.out, "Annotations")
+    sent_dir = os.path.join(args.out, "Sentences")
+    os.makedirs(ann_dir, exist_ok=True)
+    os.makedirs(sent_dir, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    phr_per_img = 4
+    det_items, gt_items, det_keys, gt_keys = [], [], [], []
+    names = []
+    phrase_id = 1
+    for i in range(args.images):
+        img = str(4000000 + i)
+        names.append(img)
+        gt_boxes = _boxes(rng, phr_per_img, 640, 480)
+        xml = ["<annotation><size><width>640</width>"
+               "<height>480</height></size>"]
+        sent_words = []
+        for p in range(phr_per_img):
+            pid = phrase_id
+            phrase_id += 1
+            bb = gt_boxes[p].astype(int)
+            xml.append(
+                f"<object><name>{pid}</name><bndbox>"
+                f"<xmin>{bb[0] + 1}</xmin><ymin>{bb[1] + 1}</ymin>"
+                f"<xmax>{bb[2] + 1}</xmax><ymax>{bb[3] + 1}</ymax>"
+                f"</bndbox></object>")
+            words = [WORD_STEMS[int(j)] for j in
+                     rng.randint(0, len(WORD_STEMS), 2)]
+            sent_words.append(f"[/EN#{pid}/other {words[0]} {words[1]}]")
+        xml.append("</annotation>")
+        with open(os.path.join(ann_dir, img + ".xml"), "w") as f:
+            f.write("".join(xml))
+        with open(os.path.join(sent_dir, img + ".txt"), "w") as f:
+            f.write("A photo with " + " and ".join(sent_words) + " .\n")
+        key = img.encode()
+        det_keys.append(key)
+        det_items.append((key, pickle.dumps({
+            "img_id": img, "img_h": 480, "img_w": 640, "num_boxes": 36,
+            "features": base64.b64encode(
+                (rng.randn(36, args.feat_dim) * 0.5).astype(
+                    np.float32).tobytes()),
+            "boxes": base64.b64encode(_boxes(rng, 36, 640, 480).tobytes())})))
+        gt_keys.append(key)
+        gt_items.append((key, pickle.dumps({
+            "img_id": img, "img_h": 480, "img_w": 640,
+            "num_boxes": phr_per_img,
+            "features": base64.b64encode(
+                (rng.randn(phr_per_img, args.feat_dim) * 0.5).astype(
+                    np.float32).tobytes()),
+            "boxes": base64.b64encode(gt_boxes.tobytes())})))
+    det_items.append((b"keys", pickle.dumps(det_keys)))
+    gt_items.append((b"keys", pickle.dumps(gt_keys)))
+    lmdbx.write(os.path.join(args.out, "flickr_feat.lmdb"), det_items)
+    lmdbx.write(os.path.join(args.out, "flickr_gt_feat.lmdb"), gt_items)
+    with open(os.path.join(args.out, "train.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"flickr_grounding synth done in {time.time() - t0:.0f}s -> "
+          f"{args.out} ({args.images} images, {phrase_id - 1} phrases)",
+          flush=True)
+
+
 def gen_guesswhat(args):
     """GuessWhat?!-layout oracle annotations over an existing ``vqa``
     features store: jsonl dialogs with qas turns answered Yes/No/N/A
@@ -533,7 +604,8 @@ def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
-                 "visual7w", "snli_ve", "refcoco", "guesswhat"):
+                 "visual7w", "snli_ve", "refcoco", "guesswhat",
+                 "flickr_grounding"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -559,7 +631,8 @@ def main():
      "retrieval": gen_retrieval, "vcr": gen_vcr,
      "nlvr2": gen_nlvr2, "visual7w": gen_visual7w,
      "snli_ve": gen_snli_ve, "refcoco": gen_refcoco,
-     "guesswhat": gen_guesswhat}[args.cmd](args)
+     "guesswhat": gen_guesswhat,
+     "flickr_grounding": gen_flickr_grounding}[args.cmd](args)
 
 
 if __name__ == "__main__":
