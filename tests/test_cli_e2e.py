@@ -277,3 +277,73 @@ def test_vlbert_vqa_fusion_override_cli(tmp_path):
     preds = json.load(open(os.path.join(res_dir, res_run,
                                         "train_result.json")))
     assert len(preds) == 8
+
+
+def test_visdial_dialog_process_cli(tmp_path):
+    """VisualDialog (dialog process: rounds x options expansion) through
+    train_task — regression for the VL-logit dialog-target flatten
+    (reference: volta/task_utils.py:155). From-scratch option-ranking on
+    synthetic data has a vanishing contrastive signal (options share
+    near-identical pooled reps at init; the reference fine-tunes from
+    pretrained weights), so this asserts the e2e mechanics, not
+    convergence."""
+    import train_task
+
+    tmp = str(tmp_path)
+    ids = [400, 401]
+    feat_path = fixtures.make_features_lmdb(tmp, ids, feature_size=32)
+    vocab = fixtures.make_vocab(tmp)
+    words = ["red", "ball", "dog", "cat"]
+    rng = np.random.RandomState(0)
+    data = {"data": {
+        "questions": [f"what is {w}" for w in words],
+        "answers": words,
+        "dialogs": [{
+            "image_id": ids[d % 2], "caption": "a photo",
+            "dialog": [
+                {"question": int(rng.randint(4)),
+                 "answer": int(rng.randint(4)),
+                 "gt_index": int(rng.randint(4)),
+                 "answer_options": list(range(4))}
+                for _ in range(10)],
+        } for d in range(4)],
+    }}
+    json.dump(data, open(os.path.join(tmp, "visdial_1.0_train.json"), "w"))
+    cfg_path = write_tiny_model_config(tmp)
+    yml = os.path.join(tmp, "tasks.yml")
+    open(yml, "w").write(f"""
+TASK3:
+  name: VisualDialog
+  type: VL-logit
+  num_labels: 1
+  loss: CrossEntropyLoss
+  process: dialog
+  task_id: 3
+  dataroot: {tmp}
+  features_h5path1: {feat_path}
+  features_h5path2: ''
+  train_annotations_jsonpath: {tmp}/visdial_1.0_train.json
+  val_annotations_jsonpath: {tmp}/visdial_1.0_train.json
+  max_seq_length: 16
+  max_region_num: 6
+  batch_size: 2
+  train_split: train
+  val_split: train
+  lr: 0.001
+  num_epoch: 1
+""")
+    out_dir = os.path.join(tmp, "save")
+    argv = ["train_task.py", "--config_file", cfg_path,
+            "--tasks_config_file", yml, "--task", "3",
+            "--vocab_file", vocab, "--output_dir", out_dir,
+            "--logdir", os.path.join(tmp, "logs"),
+            "--num_train_epochs", "1", "--num_workers", "0",
+            "--compute_dtype", "float32", "--no_pallas",
+            "--clip_grad_norm", "1.0"]
+    with mock.patch.object(sys, "argv", argv):
+        train_task.main()
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    assert os.path.isdir(os.path.join(run_dir, "best"))
+    log = os.path.join(tmp, "logs")
+    out = os.path.join(log, os.listdir(log)[0], "out.txt")
+    assert any("VAL epoch" in l for l in open(out))

@@ -251,8 +251,11 @@ def task_loss_and_score(task_type: str, prediction, batch, info,
         score = jnp.sum(soft_score_with_logits(prediction, target))
     elif task_type == "VL-logit":
         logit = prediction.reshape(bsz, info["num_options"])
-        loss = jnp.mean(cross_entropy(logit, target))
-        score = jnp.sum(jnp.argmax(logit, axis=1) == target)
+        # dialog process delivers [b, rounds] labels; flatten to match the
+        # rounds-expanded rows (reference: volta/task_utils.py:155)
+        tgt = target.reshape(-1)
+        loss = jnp.mean(cross_entropy(logit, tgt))
+        score = jnp.sum(jnp.argmax(logit, axis=1) == tgt)
     elif task_type == "V-logit":
         loss = binary_cross_entropy_with_logits(prediction, target) \
             * target.shape[1]
