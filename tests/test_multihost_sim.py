@@ -21,6 +21,7 @@ import pytest
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -132,6 +132,7 @@ def test_concap_packed_cache_roundtrip(tmp_path):
                                       err_msg=k)
 
 
+@pytest.mark.slow
 def test_device_store_step_matches_dense(tmp_path):
     """A train step fed (row indices + sparse targets) against the
     HBM-resident store must produce exactly the same loss/score/params as

@@ -52,6 +52,7 @@ def _run_step(model, task_cfg, params, batch, n_data, n_model):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 CPU devices")
+@pytest.mark.slow
 def test_tp_matches_dp_numerics():
     cfg, task_cfg, model, batch, params = _setup()
     _, state_dp, m_dp = _run_step(model, task_cfg, params, batch, 4, 1)
@@ -99,6 +100,7 @@ def test_tp_actually_shards_big_params():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 CPU devices")
+@pytest.mark.slow
 def test_tp_matches_dp_pretraining():
     from volta_tpu.parallel import make_pretrain_step
     from volta_tpu.models import VoltaForVLPreTraining
