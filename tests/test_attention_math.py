@@ -131,7 +131,7 @@ def test_pallas_layernorm_interpret_mode():
 
 
 def test_pallas_attention_interpret_mode():
-    from volta_tpu.ops.pallas_attention import _pallas_forward
+    from volta_tpu.ops.pallas_attention import _pallas_forward, interpret_mode
     from volta_tpu.ops.attention import _xla_fused_attention
 
     rng = np.random.RandomState(4)
@@ -143,13 +143,7 @@ def test_pallas_attention_interpret_mode():
     bias = additive_mask(jnp.asarray(mask))
     scale = 1.0 / np.sqrt(D)
 
-    import functools
-    from unittest import mock
-    from jax.experimental import pallas as pl
-
-    orig = pl.pallas_call
-    with mock.patch.object(pl, "pallas_call",
-                           functools.partial(orig, interpret=True)):
+    with interpret_mode():
         got = _pallas_forward(q, k, v, bias, scale, batch_tile=4)
     ref = _xla_fused_attention(q, k, v, bias, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -72,9 +72,10 @@ def main():
         elif variant == "xla_attn":
             # perf ablation: XLA einsum attention everywhere
             cfg.use_pallas = False
-        elif variant == "no_fused_resln":
-            # A/B: disable the fused dropout+residual+LN train kernel
-            cfg.use_fused_residual_ln = False
+        elif variant == "fused_resln":
+            # A/B: enable the (default-off) fused dropout+residual+LN train
+            # kernel against the XLA-composition base
+            cfg.use_fused_residual_ln = True
         model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
         batch = _vqa_batch(cfg, b, l, k)
         params = jax.jit(lambda r: model.init(

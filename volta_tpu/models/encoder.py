@@ -33,7 +33,7 @@ def _make_ln(cfg: VoltaConfig, dim: int, name: str) -> LayerNorm:
     kernel rides the same ``use_pallas`` gate as the attention kernels."""
     return LayerNorm(dim, use_pallas=cfg.use_pallas_layernorm,
                      fused_residual=cfg.use_pallas and
-                     getattr(cfg, "use_fused_residual_ln", True), name=name)
+                     cfg.use_fused_residual_ln, name=name)
 
 
 def _split_heads(x, num_heads):
@@ -91,9 +91,10 @@ class GatedAttentionSublayer(nn.Module):
             out = attn_ops.fused_attention(
                 q, k, v, bias, scale, use_pallas=self.cfg.use_pallas)
             return out, None
+        from ..ops.pallas_attention import kernels_enabled
         if (dropping and not want_probs and self.cfg.use_pallas
                 and bias is not None and q.shape[1] >= 8
-                and jax.default_backend() == "tpu"):
+                and kernels_enabled()):
             # fused attention with in-kernel dropout: the probability tensor
             # never reaches HBM in either direction
             from ..ops.pallas_attention import pallas_dropout_attention
@@ -333,6 +334,7 @@ def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
                       deterministic):
     import jax
 
+    from ..ops.pallas_attention import kernels_enabled
     from ..parallel import tp
 
     dt = _dtype(cfg)
@@ -349,7 +351,7 @@ def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
     if deterministic or rate == 0.0:
         ctx = attn_ops.fused_attention(q, k, v, bias, scale,
                                        use_pallas=cfg.use_pallas)
-    elif cfg.use_pallas and jax.default_backend() == "tpu" and (
+    elif cfg.use_pallas and kernels_enabled() and (
             tp.current_mesh() is None or tp.shardable(tp.current_mesh(), q)):
         from ..ops.pallas_attention import pallas_dropout_attention
 

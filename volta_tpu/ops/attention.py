@@ -56,9 +56,10 @@ def fused_attention(q, k, v, bias, scale, *, use_pallas: bool = True):
     PV in VMEM; elsewhere falls back to the XLA composition (which XLA also
     fuses well at these shapes).
     """
-    if (use_pallas and bias is not None and q.shape[1] >= 8
-            and jax.default_backend() == "tpu"):
-        from .pallas_attention import pallas_fused_attention
+    if use_pallas and bias is not None and q.shape[1] >= 8:
+        from .pallas_attention import kernels_enabled, pallas_fused_attention
+        if not kernels_enabled():
+            return _xla_fused_attention(q, k, v, bias, scale)
         from ..parallel import tp
 
         mesh = tp.current_mesh()

@@ -232,4 +232,8 @@ def dropout_residual_ln(o, x, scale, bias, seed, rate: float,
 def supported(o) -> bool:
     d = o.shape[-1]
     n = o.size // d
-    return n >= 8 and n % 8 == 0 and d % 128 == 0
+    # Mosaic's native sublane tile is 8 rows for fp32 but 16 for 16-bit
+    # dtypes; require the matching multiple so tiny bf16 inputs don't hit
+    # an unlowerable shape on hardware.
+    rows = 16 if jnp.dtype(o.dtype).itemsize == 2 else 8
+    return n >= rows and n % rows == 0 and d % 128 == 0

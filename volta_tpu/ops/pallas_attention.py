@@ -15,12 +15,42 @@ and PV in one VMEM round trip, eliminating the HBM materialisation of the
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = [False]
+
+
+@contextlib.contextmanager
+def interpret_mode():
+    """Run the attention kernels under the Mosaic TPU *simulator* on CPU
+    hosts (``pltpu.InterpretParams``). This is how the TP shard_map wrappers
+    (parallel/tp.py) get executed with the real kernels in CI and in the
+    multichip dryrun — no TPU required. Caveat: the simulator's
+    ``prng_random_bits`` returns all-zero bits, so dropout masks degenerate
+    to keep-everything; equivalence tests must compare at rate 0 (exact) or
+    treat rate>0 as plumbing-only coverage."""
+    prev = _INTERPRET[0]
+    _INTERPRET[0] = True
+    try:
+        yield
+    finally:
+        _INTERPRET[0] = prev
+
+
+def _interpret():
+    return pltpu.InterpretParams() if _INTERPRET[0] else False
+
+
+def kernels_enabled() -> bool:
+    """Kernel call sites gate on this: real TPU backend, or the simulator
+    explicitly switched on via interpret_mode()."""
+    return _INTERPRET[0] or jax.default_backend() == "tpu"
 
 
 def _mix_seed(seed_ref):
@@ -164,6 +194,7 @@ def _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt):
         out_specs=[blk(lq), _mask_blk(bt, lq, lk)],
         out_shape=[jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
                    jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16)],
+        interpret=_interpret(),
     )(seed_arr, qh, kh, vh, bias_b)
     return jnp.transpose(out, (1, 2, 0, 3)), mask
 
@@ -194,6 +225,7 @@ def _dropout_bwd_rule(scale, rate, bt, res, g):
             jax.ShapeDtypeStruct((h, b, lk, d), k.dtype),
             jax.ShapeDtypeStruct((h, b, lk, d), v.dtype),
         ],
+        interpret=_interpret(),
     )(qh, kh, vh, bias_b, gh, mask)
     back = lambda x: jnp.transpose(x, (1, 2, 0, 3))
     dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
@@ -296,5 +328,6 @@ def _pallas_forward(q, k, v, bias, scale, *, batch_tile: int = 16):
             * q.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=_interpret(),
     )(qh, kh, vh, bias_b)
     return jnp.transpose(out, (1, 2, 0, 3))  # back to [B, Lq, H, D]

@@ -62,8 +62,10 @@ def shard_attention(fn, q, k, v, bias):
     if mesh is None:
         return fn(q, k, v, bias)
     qkv, bspec = _attention_specs(mesh)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata, so shard_map's vma verification cannot apply to the kernels
     return jax.shard_map(fn, mesh=mesh, in_specs=(qkv, qkv, qkv, bspec),
-                         out_specs=qkv)(q, k, v, bias)
+                         out_specs=qkv, check_vma=False)(q, k, v, bias)
 
 
 def shard_dropout_attention(fn, q, k, v, bias, seed):
@@ -87,7 +89,7 @@ def shard_dropout_attention(fn, q, k, v, bias, seed):
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(qkv, qkv, qkv, bspec, P()),
-        out_specs=qkv)(q, k, v, bias, jnp_int32(seed))
+        out_specs=qkv, check_vma=False)(q, k, v, bias, jnp_int32(seed))
 
 
 def shardable_rows(mesh, x) -> bool:
@@ -125,7 +127,7 @@ def shard_residual_ln(fn, o, x, scale, bias, seed):
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=(rows, rows, P(), P(), P()),
-        out_specs=rows)(o, x, scale, bias, jnp_int32(seed))
+        out_specs=rows, check_vma=False)(o, x, scale, bias, jnp_int32(seed))
 
 
 def jnp_int32(x):
