@@ -209,17 +209,18 @@ def _ref_key(path: Tuple[str, ...], cfg: VoltaConfig, from_hf: bool
     if path[0].startswith("clf_"):
         task = path[0][len("clf_"):]
         base = f"clfs_dict.{task}"
-        if len(path) == 1:  # bare Dense clf
+        if len(path) == 2:  # bare Dense clf: ("clf_X", "kernel"|"bias")
             return base, "dense"
-        sub = path[1]
+        # SimpleClassifier names its Sequential "logit_fc" (reference:
+        # volta/encoders.py:787-814); the 2-layer V-logit head is an
+        # anonymous Sequential ("clfs_dict.X.0" / ".3", reference:
+        # volta/encoders.py:1141-1147). import_state_dict also tries the
+        # key with ".logit_fc" stripped, covering the latter.
         m = {"dense1": (".logit_fc.0", "dense"), "ln": (".logit_fc.2", "ln"),
              "dense2": (".logit_fc.3", "dense")}
-        m2 = {"dense1": (".0", "dense"), "dense2": (".3", "dense")}
+        sub = path[1]
         if sub in m:
             name, kind = m[sub]
-            return base + name, kind
-        if sub in m2:
-            name, kind = m2[sub]
             return base + name, kind
         return None
     return None
@@ -271,6 +272,9 @@ def import_state_dict(cfg: VoltaConfig, params: Any,
         if ref is not None:
             key, kind = ref
             candidates = [key]
+            if ".logit_fc." in key:
+                # 2-layer V-logit heads use an unnamed Sequential
+                candidates.append(key.replace(".logit_fc.", "."))
             if key.startswith("bert.") and not has_bert_keys:
                 candidates.append(key[len("bert."):])
             elif not key.startswith("bert.") and has_bert_keys:
