@@ -72,6 +72,10 @@ def main():
         elif variant == "xla_attn":
             # perf ablation: XLA einsum attention everywhere
             cfg.use_pallas = False
+        elif variant == "no_hm":
+            # A/B: disable the in-kernel hidden-dropout mask piggyback
+            # (falls back to one XLA bernoulli pass per dropout site)
+            cfg.fuse_hidden_dropout = False
         elif variant == "fused_resln":
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base

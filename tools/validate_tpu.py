@@ -55,6 +55,38 @@ def main():
     print(f"dropout determinism OK; E[out] max err {err:.3f}")
     assert err < 0.5
 
+    # 2b. hidden-mask piggyback kernel: same attention semantics plus two
+    # 0/1 bf16 keep masks for the downstream hidden dropouts
+    h_rate = 0.1
+    fhm = jax.jit(lambda s: pa.pallas_dropout_attention_hm(
+        q, k, v, bias, scale, rate, h_rate, s))
+    (a1, m1a, m1b), (a2, m2a, m2b) = fhm(42), fhm(42)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(m1a), np.asarray(m2a))
+    assert m1a.shape == (B, Lq, H * D) and m1a.dtype == jnp.bfloat16
+    u = np.unique(np.asarray(m1a, dtype=np.float32))
+    assert set(u).issubset({0.0, 1.0}), u
+    keep_frac = float(np.asarray(m1a, dtype=np.float32).mean())
+    assert abs(keep_frac - (1 - h_rate)) < 0.01, keep_frac
+    assert not np.array_equal(np.asarray(m1a), np.asarray(m1b)), \
+        "the two hidden masks must be independent draws"
+    acc = np.zeros_like(ref)
+    for s in range(n):
+        acc += np.asarray(fhm(2000 + s)[0])
+    err = np.abs(acc / n - ref).max()
+    assert err < 0.5, err
+    print(f"hidden-mask kernel OK (keep {keep_frac:.3f}, E[out] err {err:.3f})")
+
+    def fhm_lin(vv):
+        out, _, _ = pa.pallas_dropout_attention_hm(
+            q, k, vv, bias, scale, rate, h_rate, 77)
+        return jnp.sum(out)
+
+    val, g_v = jax.jit(jax.value_and_grad(fhm_lin))(v)
+    np.testing.assert_allclose(float(val), float(jnp.sum(g_v * v)),
+                               rtol=2e-3)
+    print("hidden-mask kernel VJP mask-consistency OK")
+
     # 3. custom VJP consistency. NOTE: Mosaic PRNG bits are only
     # deterministic within one compiled program, so fwd/bwd consistency is
     # checked inside a single value_and_grad program. out is linear in v

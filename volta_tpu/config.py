@@ -110,6 +110,13 @@ class VoltaConfig:
     # slight non-win at base shapes and stays opt-in (same story as the
     # Pallas LN). Only active on the TPU train path (rate > 0).
     use_fused_residual_ln: bool = False
+    # Draw the two hidden-dropout keep masks of each attn+FFN sublayer pair
+    # inside the Pallas dropout-attention kernel (whose per-program PRNG is
+    # already seeded — the VPU draws overlap the MXU matmuls) instead of
+    # running a separate XLA RNG pass per dropout site. Applies to the
+    # fused single-stream train path with the in-kernel-dropout attention
+    # kernel; elsewhere the plain bernoulli path is used.
+    fuse_hidden_dropout: bool = True
 
     _KNOWN = None  # populated below
 

@@ -130,20 +130,54 @@ class GatedAttentionSublayer(nn.Module):
         return (s.has_tt and s.has_tv and s.has_vt and s.has_vv and
                 s.share_params and s.single_ln)
 
-    def fused(self, x, bias, *, deterministic: bool = True):
+    def fused(self, x, bias, *, deterministic: bool = True,
+              want_ffn_mask: bool = False):
         """Single-stream path: one QKV, one attention, one output block over
         the concatenated sequence. Mathematically identical to __call__ for
-        fully-fused sublayers (see test_fused_single_stream)."""
-        spec = self.spec
+        fully-fused sublayers (see test_fused_single_stream).
+
+        With ``want_ffn_mask`` the return is ``(y, ffn_keep_mask)``: when
+        the in-kernel-dropout attention kernel runs, it also draws the
+        hidden-dropout keep masks for this sublayer's output and for the
+        following feed-forward (cfg.fuse_hidden_dropout) — two fewer XLA
+        RNG passes per layer; the FFN mask is handed to the next sublayer
+        by the encoder loop."""
+        import jax
+
+        spec, cfg = self.spec, self.cfg
         q = _split_heads(self.query(x), spec.num_heads)
         k = _split_heads(self.key(x), spec.num_heads)
         v = _split_heads(self.value(x), spec.num_heads)
         head_dim = spec.attn_hidden_size // spec.num_heads
-        ctx, _ = self._attend(q, [k], [v], [bias], head_dim, self.attn_drop,
-                              deterministic, False, [x.shape[1]])
-        return self.out_ln(self.out_dense(_merge_heads(ctx)), residual=x,
-                           drop_rate=self.cfg.hidden_dropout_prob,
-                           deterministic=deterministic)
+        h_rate = cfg.hidden_dropout_prob
+        ctx = hm0 = ffn_mask = None
+        if (not deterministic and h_rate > 0.0 and self.attn_drop.rate > 0.0
+                and cfg.use_pallas and cfg.fuse_hidden_dropout
+                and bias is not None and x.shape[1] >= 8
+                and spec.attn_hidden_size == cfg.hidden_size):
+            from ..ops.pallas_attention import kernels_enabled
+            from ..parallel import tp
+
+            if kernels_enabled() and tp.current_mesh() is None:
+                from ..ops.pallas_attention import \
+                    pallas_dropout_attention_hm
+
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max)
+                ctx, hm0, ffn_mask = pallas_dropout_attention_hm(
+                    q, k, v, bias, 1.0 / math.sqrt(head_dim),
+                    float(self.attn_drop.rate), float(h_rate), seed)
+        if ctx is None:
+            ctx, _ = self._attend(q, [k], [v], [bias], head_dim,
+                                  self.attn_drop, deterministic, False,
+                                  [x.shape[1]])
+        y = self.out_ln(self.out_dense(_merge_heads(ctx)), residual=x,
+                        drop_rate=h_rate, deterministic=deterministic,
+                        keep_mask=hm0)
+        if want_ffn_mask:
+            return y, ffn_mask
+        return y
 
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_probs: bool = False):
@@ -242,12 +276,13 @@ class GatedFeedForwardSublayer(nn.Module):
         s = self.spec
         return s.has_t_ff and s.has_v_ff and s.share_params and s.single_ln
 
-    def fused(self, x, *, deterministic: bool = True):
+    def fused(self, x, *, deterministic: bool = True, keep_mask=None):
         act = ACT2FN[self.cfg.hidden_act]
         return self.out_ln(self.out_dense(act(self.inter_dense(x))),
                            residual=x,
                            drop_rate=self.cfg.hidden_dropout_prob,
-                           deterministic=deterministic)
+                           deterministic=deterministic,
+                           keep_mask=keep_mask)
 
     cfg: VoltaConfig
     spec: SublayerSpec
@@ -376,8 +411,8 @@ def _fused_ff_block(p, x, hkey, *, cfg, deterministic):
     return _ln_p(p["out_ln"], o + x.astype(dt))
 
 
-def _ff_fused_call(layer, x, deterministic):
-    return layer.fused(x, deterministic=deterministic)
+def _ff_fused_call(layer, x, keep_mask, deterministic):
+    return layer.fused(x, deterministic=deterministic, keep_mask=keep_mask)
 
 
 def _ff_dual_call(layer, t, v, deterministic):
@@ -388,7 +423,7 @@ def _ff_dual_call(layer, t, v, deterministic):
 # activations (cfg.remat_ff). Attention sublayers are never rematted: the
 # in-kernel-dropout Pallas kernel's Mosaic PRNG is not reproducible across
 # recompilations (see CLAUDE.md), so recompute would decorrelate the mask.
-_ff_fused_remat = nn.remat(_ff_fused_call, static_argnums=(2,))
+_ff_fused_remat = nn.remat(_ff_fused_call, static_argnums=(3,))
 _ff_dual_remat = nn.remat(_ff_dual_call, static_argnums=(3,))
 
 
@@ -424,15 +459,22 @@ class GatedEncoder(nn.Module):
             if self._scannable() and not self.is_initializing():
                 x = self._scan_fused(x, bias, deterministic)
             else:
+                ffn_mask = None
                 for layer in self.sublayers:
                     with jax.named_scope(layer.name):
                         if isinstance(layer, GatedAttentionSublayer):
-                            x = layer.fused(x, bias,
-                                            deterministic=deterministic)
+                            x, ffn_mask = layer.fused(
+                                x, bias, deterministic=deterministic,
+                                want_ffn_mask=True)
                         elif self.cfg.remat_ff:
-                            x = _ff_fused_remat(layer, x, deterministic)
+                            # remat recomputes the FF in the backward; the
+                            # kernel-drawn mask is a remat input so the
+                            # forward/backward draws stay identical
+                            x = _ff_fused_remat(layer, x, ffn_mask,
+                                                deterministic)
                         else:
-                            x = layer.fused(x, deterministic=deterministic)
+                            x = layer.fused(x, deterministic=deterministic,
+                                            keep_mask=ffn_mask)
             return x[:, : t.shape[1]], x[:, t.shape[1]:], ([], [], [])
 
         all_t, all_v, all_probs = [], [], []

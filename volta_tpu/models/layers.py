@@ -71,7 +71,7 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, *, drop_rate: float = 0.0,
-                 deterministic: bool = True):
+                 deterministic: bool = True, keep_mask=None):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         if residual is None:
@@ -81,7 +81,13 @@ class LayerNorm(nn.Module):
             return layer_norm_ref(x, scale, bias, eps=self.eps)
 
         dropping = (not deterministic) and drop_rate > 0.0
-        if dropping and self.fused_residual and \
+        if dropping and keep_mask is not None:
+            # precomputed 0/1 keep mask (drawn inside the attention kernel,
+            # see ops/pallas_attention.pallas_dropout_attention_hm): apply
+            # is one fused elementwise op, no RNG pass here
+            x = jnp.where(keep_mask > 0, x / (1.0 - drop_rate),
+                          jnp.zeros((), x.dtype))
+        elif dropping and self.fused_residual and \
                 jax.default_backend() == "tpu":
             from ..ops import fused_residual as fr
             from ..parallel import tp
@@ -96,7 +102,7 @@ class LayerNorm(nn.Module):
                     lambda o, r, sc, b, s: fr.dropout_residual_ln(
                         o, r, sc, b, s, drop_rate, self.eps),
                     x, residual, scale, bias, seed)
-        if dropping:
+        if dropping and keep_mask is None:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - drop_rate, x.shape)
             x = jnp.where(keep, x / (1.0 - drop_rate),

@@ -98,6 +98,35 @@ def _attn_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
     m_ref[0] = (keep > 0).astype(jnp.bfloat16)
 
 
+def _keep01(shape, rate):
+    """Bernoulli keep mask as bf16 0/1 (unscaled) from the per-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32((1.0 - rate) * 4294967295.0)
+    return (bits < thresh).astype(jnp.bfloat16)
+
+
+def _attn_dropout_fwd_hm_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                                o_ref, m_ref, hm0_ref, hm1_ref, *, scale,
+                                rate, hidden_rate):
+    """Same as _attn_dropout_fwd_kernel, but additionally emits two
+    hidden-dropout keep masks shaped like the per-head context: one for this
+    sublayer's output-dense dropout, one for the following feed-forward's.
+    The draws piggyback on the already-seeded per-program PRNG, replacing
+    two full-tensor XLA RNG passes per attn+FFN sublayer pair; the VPU draws
+    overlap the MXU matmuls."""
+    pltpu.prng_seed(_mix_seed(seed_ref))
+    probs = _probs(q_ref, k_ref, bias_ref, scale)
+    keep = _keep_mask(probs.shape, rate)
+    probs = probs * keep
+    out = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[0],
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+    m_ref[0] = (keep > 0).astype(jnp.bfloat16)
+    hm0_ref[0] = _keep01(out.shape, hidden_rate)
+    hm1_ref[0] = _keep01(out.shape, hidden_rate)
+
+
 def _attn_dropout_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, m_ref,
                              dq_ref, dk_ref, dv_ref, *, scale, rate):
     """Attention VJP; probs recomputed in VMEM, the dropout mask read back
@@ -233,6 +262,79 @@ def _dropout_bwd_rule(scale, rate, bt, res, g):
 
 
 _pallas_dropout_attention.defvjp(_dropout_fwd_rule, _dropout_bwd_rule)
+
+
+# ------------------------------------------------- hidden-mask piggyback
+def pallas_dropout_attention_hm(q, k, v, bias, scale, rate, hidden_rate,
+                                seed, batch_tile: int = 16):
+    """Dropout attention that also returns two hidden-dropout keep masks.
+
+    Returns ``(out, hm0, hm1)`` with ``out`` as pallas_dropout_attention and
+    ``hm*`` bf16 0/1 masks of shape [B, Lq, H*D] — drawn from the kernel's
+    per-program PRNG so the two hidden dropouts of the attn+FFN sublayer
+    pair cost no separate XLA RNG pass. The masks are stop_gradient'ed:
+    consumers multiply by them, and the corresponding cotangents entering
+    the custom VJP are symbolic zeros that XLA eliminates.
+    """
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    bt = _pick_tile(q.shape[0], batch_tile, q.shape[1], k.shape[1],
+                    q.shape[3])
+    out, hm0, hm1 = _pallas_dropout_attention_hm(
+        q, k, v, bias, seed_arr, scale, rate, hidden_rate, bt)
+    b, lq, h, d = q.shape
+    re = lambda m: jnp.transpose(m, (1, 2, 0, 3)).reshape(b, lq, h * d)
+    sg = jax.lax.stop_gradient
+    return out, sg(re(hm0)), sg(re(hm1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _pallas_dropout_attention_hm(q, k, v, bias, seed_arr, scale, rate,
+                                 hidden_rate, bt):
+    out, _, hm0, hm1 = _dropout_hm_fwd_impl(q, k, v, bias, seed_arr, scale,
+                                            rate, hidden_rate, bt)
+    return out, hm0, hm1
+
+
+def _dropout_hm_fwd_impl(q, k, v, bias, seed_arr, scale, rate, hidden_rate,
+                         bt):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
+                              (b, 1, 1, lk)).reshape(b, 1, lk)
+    blk = _blk(bt, d)
+    out, mask, hm0, hm1 = pl.pallas_call(
+        functools.partial(_attn_dropout_fwd_hm_kernel, scale=scale,
+                          rate=rate, hidden_rate=hidden_rate),
+        grid=(h, b // bt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk)],
+        out_specs=[blk(lq), _mask_blk(bt, lq, lk), blk(lq), blk(lq)],
+        out_shape=[jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((h, b, lq, d), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((h, b, lq, d), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(seed_arr, qh, kh, vh, bias_b)
+    return jnp.transpose(out, (1, 2, 0, 3)), mask, hm0, hm1
+
+
+def _dropout_hm_fwd_rule(q, k, v, bias, seed_arr, scale, rate, hidden_rate,
+                         bt):
+    out, mask, hm0, hm1 = _dropout_hm_fwd_impl(q, k, v, bias, seed_arr,
+                                               scale, rate, hidden_rate, bt)
+    return (out, hm0, hm1), (q, k, v, bias, mask)
+
+
+def _dropout_hm_bwd_rule(scale, rate, hidden_rate, bt, res, g):
+    # the hm cotangents are zeros (masks are stop_gradient'ed downstream);
+    # the attention VJP is identical to the mask-free kernel's
+    g_out, _, _ = g
+    return _dropout_bwd_rule(scale, rate, bt, res, g_out)
+
+
+_pallas_dropout_attention_hm.defvjp(_dropout_hm_fwd_rule,
+                                    _dropout_hm_bwd_rule)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
