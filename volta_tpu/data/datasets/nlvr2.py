@@ -45,6 +45,50 @@ class NLVR2Dataset(VLDataset):
         self.entries = cached_entries(dataroot, task, split, bert_model,
                                       max_seq_length, build)
 
+    # ------------------------------------------------- device-resident mode
+    def enable_device_store(self, feat_dtype="float32", cache: bool = True):
+        """Per-image features pack once into HBM-resident arrays; batches
+        ship an [b, 2] row-index pair + the sentence tokens (~10 KB) and
+        the device gathers + concatenates the pair on the region axis
+        (parallel.train_step.materialize_store_batch), reproducing the
+        dense 2R layout the ``nlvr`` process splits back (reference:
+        volta/datasets/nlvr2_dataset.py:192-206)."""
+        from ..packed import pack_features
+
+        ids = sorted({e[k] for e in self.entries
+                      for k in ("image_id_0", "image_id_1")})
+        self._pf = pack_features(self._reader, ids, self._max_region_num,
+                                 self._num_locs, cache=cache,
+                                 dtype=feat_dtype)
+        self._img_rows = np.array(
+            [[self._pf.row(e["image_id_0"]), self._pf.row(e["image_id_1"])]
+             for e in self.entries], np.int64)
+        self._q_tokens = np.stack([e["q_tokens"] for e in self.entries])
+        self._q_mask = np.stack([e["q_mask"] for e in self.entries])
+        self._q_seg = np.stack([e["q_seg"] for e in self.entries])
+        tgt = np.zeros((len(self.entries), 2), np.float32)
+        tgt[np.arange(len(self.entries)),
+            [e["label"] for e in self.entries]] = 1.0
+        self._target = tgt
+        self._qid = np.array([e["question_id"] for e in self.entries],
+                             np.int64)
+        self.get_batch = self._get_store_batch  # consumed by DataLoader
+
+    def device_store_arrays(self):
+        return {"feat": np.asarray(self._pf.feat),
+                "loc": np.asarray(self._pf.loc),
+                "mask": np.asarray(self._pf.mask)}
+
+    def _get_store_batch(self, idx):
+        return {
+            "store_rows": self._img_rows[idx].astype(np.int32),
+            "question": self._q_tokens[idx],
+            "target": self._target[idx],
+            "input_mask": self._q_mask[idx],
+            "segment_ids": self._q_seg[idx],
+            "question_id": self._qid[idx],
+        }
+
     def __getitem__(self, index):
         e = self.entries[index]
         f0, l0, m0 = self._image(e["image_id_0"])

@@ -155,3 +155,66 @@ class VCRDataset(VLDataset):
             "input_mask": e["q_mask"], "segment_ids": e["q_seg"],
             "question_id": np.int64(e["anno_id"]),
         }
+
+    # ------------------------------------------------- device-resident mode
+    def enable_device_store(self, feat_dtype="float32", cache: bool = True):
+        """The det+GT merge is deterministic per image, so the merged
+        regions pack once into HBM-resident arrays; batches then ship only
+        a row index + the 4 tokenised options (~20 KB) instead of the dense
+        merged features (~38 MB/step over a slow host link). The ``expand``
+        option tiling runs on device after the gather (reference:
+        volta/task_utils.py:185-208, vcr_dataset.py:361-395)."""
+        from ..packed import pack_features
+
+        queries, seen = [], set()
+        for e in self.entries:
+            q = e["metadata_fn"][:-5] + ".jpg"
+            if q not in seen:
+                seen.add(q)
+                queries.append(q)
+        self._pf = pack_features(_MergedRegionReader(self), queries,
+                                 self._max_region_num, self._num_locs,
+                                 cache=cache, dtype=feat_dtype)
+        self._img_row = np.array(
+            [self._pf.row(e["metadata_fn"][:-5] + ".jpg")
+             for e in self.entries], np.int64)
+        self._q_tokens = np.stack([e["q_tokens"] for e in self.entries])
+        self._q_mask = np.stack([e["q_mask"] for e in self.entries])
+        self._q_seg = np.stack([e["q_seg"] for e in self.entries])
+        self._target = np.array([e["target"] for e in self.entries],
+                                np.int32)
+        self._qid = np.array([e["anno_id"] for e in self.entries], np.int64)
+        self.get_batch = self._get_store_batch  # consumed by DataLoader
+
+    def device_store_arrays(self):
+        return {"feat": np.asarray(self._pf.feat),
+                "loc": np.asarray(self._pf.loc),
+                "mask": np.asarray(self._pf.mask)}
+
+    def _get_store_batch(self, idx):
+        return {
+            "store_rows": self._img_row[idx].astype(np.int32),
+            "question": self._q_tokens[idx],
+            "target": self._target[idx],
+            "input_mask": self._q_mask[idx],
+            "segment_ids": self._q_seg[idx],
+            "question_id": self._qid[idx],
+        }
+
+
+class _MergedRegionReader:
+    """pack_features adapter emitting VCR's deterministic det+GT merge (or
+    the plain detector regions when no GT reader is configured)."""
+
+    def __init__(self, ds: VCRDataset):
+        self._ds = ds
+        self.feature_size = ds.feature_size
+        self.add_global_imgfeat = ds._add_global_imgfeat
+        self.env = ds._reader.env  # cache-dir anchor for pack_features
+
+    def __getitem__(self, query):
+        if self._ds._gt_reader is not None:
+            feat, loc, mask = self._ds._merged_image(query)
+        else:
+            feat, loc, mask = self._ds._image(query)
+        return feat, int(mask.sum()), loc, None

@@ -45,21 +45,37 @@ def materialize_store_batch(store: Dict, batch: Dict, num_labels: int
     dense features over a slow host link every step.
     """
     rows = batch["store_rows"]
-    labels = batch["target_labels"]          # [b, K], -1 padded
-    scores = batch["target_scores"]          # [b, K]
-    b, k = labels.shape
-    valid = labels >= 0
-    target = jnp.zeros((b, num_labels), jnp.float32)
-    target = target.at[
-        jnp.repeat(jnp.arange(b), k),
-        jnp.where(valid, labels, 0).reshape(-1)].max(
-        jnp.where(valid, scores, 0.0).reshape(-1).astype(jnp.float32))
     full = {k2: v for k2, v in batch.items()
             if k2 not in ("store_rows", "target_labels", "target_scores")}
-    full["features"] = jnp.take(store["feat"], rows, axis=0)
-    full["spatials"] = jnp.take(store["loc"], rows, axis=0)
-    full["image_mask"] = jnp.take(store["mask"], rows, axis=0)
-    full["target"] = target
+    if rows.ndim == 2:
+        # image-set layout (NLVR2 pairs): gather every image of the sample
+        # and concatenate on the region axis, reproducing the dense
+        # dataset's [b, m*R] layout that the ``nlvr`` process splits back
+        # (reference: volta/datasets/nlvr2_dataset.py:192-206)
+        b, m = rows.shape
+        flat = rows.reshape(-1)
+        f = jnp.take(store["feat"], flat, axis=0)
+        full["features"] = f.reshape(b, m * f.shape[1], f.shape[2])
+        l = jnp.take(store["loc"], flat, axis=0)
+        full["spatials"] = l.reshape(b, m * l.shape[1], l.shape[2])
+        mk = jnp.take(store["mask"], flat, axis=0)
+        full["image_mask"] = mk.reshape(b, m * mk.shape[1])
+    else:
+        full["features"] = jnp.take(store["feat"], rows, axis=0)
+        full["spatials"] = jnp.take(store["loc"], rows, axis=0)
+        full["image_mask"] = jnp.take(store["mask"], rows, axis=0)
+    if "target_labels" in batch:
+        labels = batch["target_labels"]      # [b, K], -1 padded
+        scores = batch["target_scores"]      # [b, K]
+        b, k = labels.shape
+        valid = labels >= 0
+        target = jnp.zeros((b, num_labels), jnp.float32)
+        target = target.at[
+            jnp.repeat(jnp.arange(b), k),
+            jnp.where(valid, labels, 0).reshape(-1)].max(
+            jnp.where(valid, scores, 0.0).reshape(-1).astype(jnp.float32))
+        full["target"] = target
+    # else: the dataset ships its (small) dense target directly
     return full
 
 
