@@ -26,21 +26,59 @@ A100_REF_PAIRS_PER_SEC = 250.0
 
 def _parse():
     p = argparse.ArgumentParser()
-    p.add_argument("--validate", action="store_true",
+    p.add_argument("--validate", action="store_true", default=True,
                    help="run the hardware kernel validation suite "
                         "(tools/validate_tpu.py) before benchmarking so a "
-                        "Pallas regression cannot ship behind a fast number")
-    p.add_argument("--with_data", default="",
+                        "Pallas regression cannot ship behind a fast number "
+                        "(default ON)")
+    p.add_argument("--skip_validate", dest="validate", action="store_false")
+    p.add_argument("--with_data", default="auto",
                    help="synthetic VQA dataroot (tools/make_synth_data.py): "
                         "additionally measure with the packed loader "
                         "feeding fresh batches (input pipeline in the "
-                        "measured loop)")
+                        "measured loop). 'auto' (default) uses/creates a "
+                        "cached dataroot at $VOLTA_SYNTH_VQA or "
+                        "/tmp/volta_synth_vqa; '' disables")
     p.add_argument("--data_steps", type=int, default=100)
-    p.add_argument("--device_store", action="store_true",
-                   help="with --with_data: keep the packed feature store "
-                        "in HBM and ship only indices + sparse targets per "
-                        "step (for hosts with slow device links)")
+    p.add_argument("--device_store", action="store_true", default=True,
+                   help="with data: keep the packed feature store in HBM "
+                        "and ship only indices + sparse targets per step "
+                        "(default ON — this host's device link is ~25 MB/s)")
+    p.add_argument("--no_device_store", dest="device_store",
+                   action="store_false")
     return p.parse_args()
+
+
+def _resolve_dataroot(spec):
+    """'auto' -> a cached synthetic VQA dataroot, generated on first use
+    (numpy-only subprocess, no TPU contention). Returns None when data
+    benching is disabled or generation fails (the headline bench must not
+    die with the pipeline measurement)."""
+    import os
+    import subprocess
+    import sys
+
+    if spec != "auto":
+        return spec or None
+    root = os.environ.get("VOLTA_SYNTH_VQA", "/tmp/volta_synth_vqa")
+    if os.path.exists(os.path.join(root, "features.lmdb")):
+        return root
+    print(f"generating synthetic VQA dataroot at {root} ...",
+          file=sys.stderr, flush=True)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    try:
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "make_synth_data.py"),
+             "vqa", "--out", root, "--images", "10000",
+             "--questions", "30000"],
+            check=True, env=env)
+    except subprocess.CalledProcessError as e:
+        print(f"synthetic data generation failed ({e}); skipping the "
+              "loader-in-loop measurement", file=sys.stderr, flush=True)
+        return None
+    return root
 
 
 def _bench_with_data(args, pieces, state, mesh, shard_batch, b):
@@ -162,17 +200,31 @@ def main():
 
     pairs_per_sec = b * iters / dt
     per_chip = pairs_per_sec / n_dev
-    print(json.dumps({
+    headline = json.dumps({
         "metric": "ctrl_uniter VQA fine-tune throughput",
         "value": round(per_chip, 2),
         "unit": "image-text pairs/sec/chip (batch 256, seq 23, 37 regions, "
                 "bf16 train step incl. AdamW)",
         "vs_baseline": round(per_chip / A100_REF_PAIRS_PER_SEC, 3),
-    }), flush=True)
+        "validated": bool(args.validate),
+    })
 
-    if args.with_data:
-        _bench_with_data(args, (model, tx, task_cfg, step), state, mesh,
-                         shard_batch, b)
+    # loader-in-loop line first, headline last (the driver parses the final
+    # JSON line; both land in the recorded tail)
+    dataroot = _resolve_dataroot(args.with_data)
+    if dataroot:
+        args.with_data = dataroot
+        try:
+            _bench_with_data(args, (model, tx, task_cfg, step), state, mesh,
+                             shard_batch, b)
+        except Exception as e:  # the headline line must still be emitted
+            import sys
+            import traceback
+
+            traceback.print_exc()
+            print(f"loader-in-loop bench failed: {e}", file=sys.stderr,
+                  flush=True)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":
