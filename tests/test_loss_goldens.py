@@ -157,6 +157,39 @@ def test_nce_2048_golden():
     assert got == pytest.approx(want, abs=1e-6)
 
 
+def test_nce_2048_chunked_matches_dense():
+    """The blockwise score scan (used when the dense [b,r,b*r] score matrix
+    would crowd the HBM-resident feature store) must be bit-compatible with
+    the dense all-pairs path — both with injected and with sampled
+    negatives."""
+    f = _fix(b=4, r=6)
+    b, r, d = f["image_feat"].shape
+    rng = np.random.RandomState(7)
+    pred = rng.randn(b, r, d).astype(np.float32)
+    neg_idx = rng.randint(0, b * r, (b, r, 8)).astype(np.int64)
+
+    kw = dict(image_feat=jnp.asarray(f["image_feat"]),
+              neg_idx=jnp.asarray(neg_idx))
+    dense = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                             jnp.asarray(f["label"]), score_chunk=0, **kw))
+    for chunk in (5, 8, 64):  # non-divisor, divisor, > b*r
+        got = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                               jnp.asarray(f["label"]), score_chunk=chunk,
+                               **kw))
+        assert got == pytest.approx(dense, abs=1e-6), chunk
+    # sampled negatives: same rng must give the same loss either way
+    key = jax.random.PRNGKey(3)
+    dense_s = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                               jnp.asarray(f["label"]), score_chunk=0,
+                               image_feat=jnp.asarray(f["image_feat"]),
+                               rng=key))
+    chunk_s = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                               jnp.asarray(f["label"]), score_chunk=7,
+                               image_feat=jnp.asarray(f["image_feat"]),
+                               rng=key))
+    assert chunk_s == pytest.approx(dense_s, abs=1e-6)
+
+
 def test_mlm_itm_cross_entropy_ignore_golden():
     rng = np.random.RandomState(5)
     logits = rng.randn(4, 7, 31).astype(np.float32)
