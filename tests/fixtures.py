@@ -20,6 +20,25 @@ def make_vocab(tmpdir):
     return path
 
 
+def make_roberta_vocab(tmpdir):
+    """Byte-level BPE vocab dir (vocab.json + merges.txt) covering every
+    byte unit plus the RoBERTa specials — any text encodes (one token per
+    byte, no merges). Matches volta_tpu.data.bpe.RobertaTokenizer's
+    from_pretrained layout."""
+    from volta_tpu.data.bpe import bytes_to_unicode
+
+    d = os.path.join(tmpdir, "roberta_vocab")
+    os.makedirs(d, exist_ok=True)
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for u in bytes_to_unicode().values():
+        vocab.setdefault(u, len(vocab))
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    return d
+
+
 def make_features_lmdb(tmpdir, image_ids, num_boxes=6, feature_size=32,
                        seed=0, name="feat.lmdb"):
     rng = np.random.RandomState(seed)

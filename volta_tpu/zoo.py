@@ -146,38 +146,50 @@ def lxmert(n_text: int = 9, n_vision: int = 5, n_cross: int = 5, **overrides) ->
     return VoltaConfig(**cfg)
 
 
-def build(name: str) -> VoltaConfig:
-    """Construct one of the named zoo models."""
+def build(name: str, **overrides) -> VoltaConfig:
+    """Construct one of the named zoo models. ``overrides`` set config
+    fields on top of the named recipe — e.g. ``model="roberta"`` for the
+    RoBERTa text encoder (the reference's --bert_model switch, reference:
+    train_task.py:179-180), or reduced dims for tests."""
+    def _merge(base, o):
+        return {**base, **o}
+
     zoo = {
         # --- CTRL variants (controlled setup of the VOLTA paper) ---
-        "ctrl_uniter_base": lambda: single_stream("uniter"),
-        "ctrl_visualbert_base": lambda: single_stream("visualbert"),
-        "ctrl_vl-bert_base": lambda: single_stream(
-            "vl-bert", type_vocab_size=3, v_coordinate_embeddings_dim=256,
-            image_head_ln=False),
-        "ctrl_vilbert_base": lambda: vilbert(),
-        "ctrl_lxmert": lambda: lxmert(),
+        "ctrl_uniter_base": lambda **o: single_stream("uniter", **o),
+        "ctrl_visualbert_base":
+            lambda **o: single_stream("visualbert", **o),
+        "ctrl_vl-bert_base": lambda **o: single_stream(
+            "vl-bert", **_merge(dict(
+                type_vocab_size=3, v_coordinate_embeddings_dim=256,
+                image_head_ln=False), o)),
+        "ctrl_vilbert_base": lambda **o: vilbert(**o),
+        "ctrl_lxmert": lambda **o: lxmert(**o),
         # --- original recipes ---
-        "vilbert_base": lambda: vilbert(
-            v_hidden_size=1024, v_num_attention_heads=8, v_intermediate_size=1024,
-            sublayer2attn_hidden_size={str(n): 1024 for n in (12, 16, 20, 24, 28, 32)},
-            sublayer2num_attention_heads={str(n): 8 for n in (12, 16, 20, 24, 28, 32)},
-        ),
-        "lxmert": lambda: lxmert(
+        "vilbert_base": lambda **o: vilbert(**_merge(dict(
+            v_hidden_size=1024, v_num_attention_heads=8,
+            v_intermediate_size=1024,
+            sublayer2attn_hidden_size={str(n): 1024
+                                       for n in (12, 16, 20, 24, 28, 32)},
+            sublayer2num_attention_heads={str(n): 8
+                                          for n in (12, 16, 20, 24, 28, 32)},
+        ), o)),
+        "lxmert": lambda **o: lxmert(**_merge(dict(
             pooler_size=768, num_locs=4, add_global_imgfeat=None,
             visual_target_weights={"3": 6.667, "4": 6.667, "5": 6.667},
             fusion_method="text",
-        ),
-        "vl-bert_base": lambda: single_stream(
-            "vl-bert", type_vocab_size=3, v_coordinate_embeddings_dim=256,
-            image_head_ln=False, num_locs=4, add_global_imgfeat="last",
-            visual_target_weights={"6": 1.0}, fusion_method="none",
-            clf_hidden_size=768, pooler_size=768,
-        ),
+        ), o)),
+        "vl-bert_base": lambda **o: single_stream(
+            "vl-bert", **_merge(dict(
+                type_vocab_size=3, v_coordinate_embeddings_dim=256,
+                image_head_ln=False, num_locs=4, add_global_imgfeat="last",
+                visual_target_weights={"6": 1.0}, fusion_method="none",
+                clf_hidden_size=768, pooler_size=768,
+            ), o)),
     }
     if name not in zoo:
         raise KeyError(f"Unknown zoo model {name!r}; have {sorted(zoo)}")
-    return zoo[name]()
+    return zoo[name](**overrides)
 
 
 ZOO_NAMES = [
