@@ -53,6 +53,12 @@ def kernels_enabled() -> bool:
     return _INTERPRET[0] or jax.default_backend() == "tpu"
 
 
+# trace-time kernel counter: lets callers (e.g. __graft_entry__'s multichip
+# dryrun) assert the Pallas path was actually traced rather than silently
+# falling back to XLA when a gate condition drifts
+TRACE_COUNT = [0]
+
+
 def _mix_seed(seed_ref):
     hi = pl.program_id(0)
     bi = pl.program_id(1)
@@ -209,6 +215,7 @@ def _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate, bt):
 
 
 def _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt):
+    TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
     lk = k.shape[1]
     qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
@@ -297,6 +304,7 @@ def _pallas_dropout_attention_hm(q, k, v, bias, seed_arr, scale, rate,
 
 def _dropout_hm_fwd_impl(q, k, v, bias, seed_arr, scale, rate, hidden_rate,
                          bt):
+    TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
     lk = k.shape[1]
     qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
@@ -393,6 +401,7 @@ pallas_fused_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
 def _pallas_forward(q, k, v, bias, scale, *, batch_tile: int = 16):
+    TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
     lk = k.shape[1]
     if b % batch_tile != 0:
