@@ -105,6 +105,49 @@ def test_layernorm_keep_mask_matches_manual():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_keep_mask_interpret():
+    """Keep-mask generator under the simulator: shape/dtype, all-keep
+    (all-zero sim PRNG bits), gradient isolation via stop_gradient."""
+    from volta_tpu.ops.dropout_mask import pallas_keep_mask, supported
+
+    assert supported((16, 4, 128)) and not supported((16, 4, 100))
+    with interpret_mode():
+        m = jax.jit(lambda s: pallas_keep_mask((6, 8, 128), 0.25, s))(3)
+    assert m.shape == (6, 8, 128) and m.dtype == jnp.bfloat16
+    assert float(jnp.min(m)) == 1.0  # simulator bits are all zero
+
+    def loss(x):
+        with interpret_mode():
+            mask = pallas_keep_mask((4, 128), 0.5, 7)
+        return jnp.sum(jnp.where(mask > 0, x / 0.5, 0.0) ** 2)
+
+    x = jnp.ones((4, 128))
+    g = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(g), 8.0)  # 2*(x/0.5)/0.5
+
+
+def test_layernorm_pallas_mask_path_matches_manual():
+    """LayerNorm with pallas_mask under the simulator equals the manual
+    all-keep composition (sim masks are all ones)."""
+    from volta_tpu.models.layers import LayerNorm, layer_norm_ref
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 8, 128).astype(np.float32))
+    res = jnp.asarray(rng.randn(4, 8, 128).astype(np.float32))
+    rate = 0.2
+    ln = LayerNorm(128, pallas_mask=True)
+    params = ln.init(jax.random.PRNGKey(0), x)
+    with interpret_mode():
+        got = ln.apply(params, x, residual=res, drop_rate=rate,
+                       deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    manual = layer_norm_ref(x / (1 - rate) + res,
+                            params["params"]["scale"],
+                            params["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(manual),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_encoder_uses_piggyback_and_grads_finite(monkeypatch):
     """The fused single-stream train path must route through the hm kernel
     when fuse_hidden_dropout is on, and fwd+bwd must stay finite."""

@@ -72,10 +72,32 @@ def main():
         elif variant == "xla_attn":
             # perf ablation: XLA einsum attention everywhere
             cfg.use_pallas = False
-        elif variant == "no_hm":
-            # A/B: disable the in-kernel hidden-dropout mask piggyback
-            # (falls back to one XLA bernoulli pass per dropout site)
-            cfg.fuse_hidden_dropout = False
+        elif variant == "no_pmask":
+            # A/B: XLA RngBitGenerator bernoulli instead of the Pallas
+            # keep-mask kernel
+            cfg.use_pallas_dropout_mask = False
+        elif variant == "fixedmask":
+            # diagnostic (wrong numerics): hidden dropout with a constant
+            # iota-derived mask — no RNG draw, same mask traffic + where.
+            # fixedmask ~= nodrop  -> the RNG generation is the cost;
+            # fixedmask ~= base    -> mask traffic/fusion breaks are.
+            # (measured: 88.2 vs nodrop 84.8 vs rbg-bernoulli 92.3)
+            cfg.use_pallas_dropout_mask = False
+            from volta_tpu.models import layers as _layers
+
+            def _fake_dropout(x, key, rate):
+                idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape,
+                                               x.ndim - 1)
+                keep = ((idx * jnp.uint32(2654435761)) & 255) >= \
+                    jnp.uint32(rate * 256)
+                return jnp.where(keep, x / (1.0 - rate),
+                                 jnp.zeros((), x.dtype))
+
+            _layers.int_threshold_dropout = _fake_dropout
+        elif variant == "hm":
+            # A/B: enable the (default-off, measured 95.9 vs 92.8 ms)
+            # in-kernel hidden-dropout mask piggyback
+            cfg.fuse_hidden_dropout = True
         elif variant == "fused_resln":
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base

@@ -87,6 +87,23 @@ def main():
                                rtol=2e-3)
     print("hidden-mask kernel VJP mask-consistency OK")
 
+    # 2c. standalone keep-mask generator kernel (hidden dropouts)
+    from volta_tpu.ops import dropout_mask as dm
+
+    fkm = jax.jit(lambda s: dm.pallas_keep_mask((512, 768), 0.1, s))
+    k1, k2, k3 = fkm(5), fkm(5), fkm(9)
+    assert np.array_equal(np.asarray(k1), np.asarray(k2)), \
+        "same seed must reproduce"
+    assert not np.array_equal(np.asarray(k1), np.asarray(k3)), \
+        "different seeds must differ"
+    u = np.unique(np.asarray(k1, dtype=np.float32))
+    assert set(u).issubset({0.0, 1.0}), u
+    kf = float(np.asarray(k1, dtype=np.float32).mean())
+    assert abs(kf - 0.9) < 0.01, kf
+    # rows must be independent draws (program-id seed mixing)
+    assert not np.array_equal(np.asarray(k1)[:256], np.asarray(k1)[256:])
+    print(f"keep-mask kernel OK (keep {kf:.3f})")
+
     # 3. custom VJP consistency. NOTE: Mosaic PRNG bits are only
     # deterministic within one compiled program, so fwd/bwd consistency is
     # checked inside a single value_and_grad program. out is linear in v

@@ -112,11 +112,21 @@ class VoltaConfig:
     use_fused_residual_ln: bool = False
     # Draw the two hidden-dropout keep masks of each attn+FFN sublayer pair
     # inside the Pallas dropout-attention kernel (whose per-program PRNG is
-    # already seeded — the VPU draws overlap the MXU matmuls) instead of
-    # running a separate XLA RNG pass per dropout site. Applies to the
-    # fused single-stream train path with the in-kernel-dropout attention
-    # kernel; elsewhere the plain bernoulli path is used.
-    fuse_hidden_dropout: bool = True
+    # already seeded) instead of running an XLA RNG pass per dropout site.
+    # Measured A/B on v5e (b256 VQA step): 95.9 ms with masks vs 92.8 ms
+    # XLA bernoulli — the [H,B,L,D]->[B,L,H*D] mask transpose + extra HBM
+    # round trips outweigh the saved RNG passes (XLA fuses bernoulli into
+    # the matmul epilogues with zero extra traffic), so OFF by default;
+    # kernel kept validated (tools/validate_tpu.py) for wider-model shapes
+    # where the trade may flip.
+    fuse_hidden_dropout: bool = False
+    # Generate the hidden-dropout keep masks with a dedicated Pallas kernel
+    # (Mosaic hardware PRNG, lane-aligned bf16 writes) instead of XLA's
+    # RngBitGenerator, which materialises a 47 MB uint32 bits tensor per
+    # dropout site (~4.0 ms/step of the 7.4 ms hidden-dropout cost at b256).
+    # The mask *apply* (multiply + residual + LN) stays in XLA where it
+    # fuses into the matmul epilogues.
+    use_pallas_dropout_mask: bool = True
 
     _KNOWN = None  # populated below
 

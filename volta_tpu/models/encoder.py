@@ -33,7 +33,10 @@ def _make_ln(cfg: VoltaConfig, dim: int, name: str) -> LayerNorm:
     kernel rides the same ``use_pallas`` gate as the attention kernels."""
     return LayerNorm(dim, use_pallas=cfg.use_pallas_layernorm,
                      fused_residual=cfg.use_pallas and
-                     cfg.use_fused_residual_ln, name=name)
+                     cfg.use_fused_residual_ln,
+                     pallas_mask=cfg.use_pallas and
+                     cfg.use_pallas_dropout_mask and not cfg.remat_ff,
+                     name=name)
 
 
 def _split_heads(x, num_heads):

@@ -68,6 +68,7 @@ class LayerNorm(nn.Module):
     eps: float = LN_EPS
     use_pallas: bool = False
     fused_residual: bool = False
+    pallas_mask: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None, *, drop_rate: float = 0.0,
@@ -81,6 +82,18 @@ class LayerNorm(nn.Module):
             return layer_norm_ref(x, scale, bias, eps=self.eps)
 
         dropping = (not deterministic) and drop_rate > 0.0
+        if dropping and keep_mask is None and self.pallas_mask:
+            # Mosaic hardware PRNG writes the keep mask (no materialised
+            # uint32 bits tensor); the apply below stays in XLA's fusion
+            from ..ops import dropout_mask as dm
+            from ..parallel import tp
+
+            if dm.kernels_enabled() and tp.current_mesh() is None \
+                    and dm.supported(x.shape):
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max)
+                keep_mask = dm.pallas_keep_mask(x.shape, drop_rate, seed)
         if dropping and keep_mask is not None:
             # precomputed 0/1 keep mask (drawn inside the attention kernel,
             # see ops/pallas_attention.pallas_dropout_attention_hm): apply
@@ -103,15 +116,23 @@ class LayerNorm(nn.Module):
                         o, r, sc, b, s, drop_rate, self.eps),
                     x, residual, scale, bias, seed)
         if dropping and keep_mask is None:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - drop_rate, x.shape)
-            x = jnp.where(keep, x / (1.0 - drop_rate),
-                          jnp.zeros((), x.dtype))
+            x = int_threshold_dropout(x, self.make_rng("dropout"),
+                                      drop_rate)
         s = x + residual
         if self.use_pallas:
             from ..ops.layernorm import fused_layer_norm
             return fused_layer_norm(s, scale, bias, eps=self.eps)
         return layer_norm_ref(s, scale, bias, eps=self.eps)
+
+
+def int_threshold_dropout(x, key, rate: float):
+    """Dropout via a raw-bits integer compare: same Bernoulli(1-rate)
+    distribution as jax.random.bernoulli (up to 2^-32 threshold rounding)
+    without the bits->float conversion chain, so the fused RNG epilogue is
+    a draw + one compare."""
+    bits = jax.random.bits(key, x.shape, jnp.uint32)
+    keep = bits < jnp.uint32((1.0 - rate) * 4294967295.0)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
 
 
 def dense(features: int, stddev: float, dtype, name: str) -> nn.Dense:
