@@ -67,6 +67,38 @@ def test_eval_kernel_tp_matches_xla(mesh):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_eval_kernel_pallas_bwd_matches_xla(mesh):
+    """The fused no-dropout backward kernel (incl. the per-head dbias
+    partial sums) must reproduce the XLA attention VJP — single device and
+    under the TP shard_map wrapper."""
+    q, k, v, bias = _inputs(4)
+
+    def pal_loss(q, k, v, bias):
+        out = pallas_fused_attention(q, k, v, bias, SCALE)
+        return jnp.sum(jnp.tanh(out))
+
+    def tp_loss(q, k, v, bias):
+        fn = functools.partial(pallas_fused_attention, scale=SCALE)
+        return jnp.sum(jnp.tanh(tp.shard_attention(fn, q, k, v, bias)))
+
+    def xla_loss(q, k, v, bias):
+        return jnp.sum(jnp.tanh(_xla_attention(q, k, v, bias, SCALE)))
+
+    g_ref = jax.grad(xla_loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    with interpret_mode():
+        g_pal = jax.jit(jax.grad(pal_loss, argnums=(0, 1, 2, 3)))(
+            q, k, v, bias)
+        with tp.mesh_context(mesh):
+            g_tp = jax.jit(jax.grad(tp_loss, argnums=(0, 1, 2, 3)))(
+                q, k, v, bias)
+    for got, want, name in zip(g_pal, g_ref, "qkvb"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    for got, want, name in zip(g_tp, g_ref, "qkvb"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_dropout_kernel_tp_rate0_matches_single_device(mesh):
     q, k, v, bias = _inputs(1)
     fn = lambda q, k, v, bias, seed: pallas_dropout_attention(  # noqa: E731

@@ -130,6 +130,13 @@ def main():
                                atol=1e-4)
     print("dropout kernel rate=0 parity (fwd+bwd) OK")
 
+    # 3b. eval kernel's fused Pallas backward (dropout-free training path)
+    ge = jax.jit(jax.grad(lambda qq: jnp.sum(jnp.tanh(
+        pa.pallas_fused_attention(qq, k, v, bias, scale)))))(q)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gr), rtol=1e-3,
+                               atol=1e-4)
+    print("eval kernel fused bwd parity OK")
+
     # 4. pallas layernorm fwd/bwd parity on hardware
     x = jnp.asarray(rng.randn(512, 768).astype(np.float32))
     sc = jnp.asarray(rng.randn(768).astype(np.float32))
