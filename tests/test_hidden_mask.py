@@ -105,6 +105,29 @@ def test_layernorm_keep_mask_matches_manual():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_hash_dropout_statistics():
+    """Counter-based dropout (murmur3 fmix32 over position counters): keep
+    fraction, scaling, seed sensitivity, and whitening sanity."""
+    from volta_tpu.models.layers import hash_dropout
+
+    x = jnp.ones((64, 1024), jnp.float32)
+    y1 = np.asarray(hash_dropout(x, jax.random.PRNGKey(0), 0.1))
+    y1b = np.asarray(hash_dropout(x, jax.random.PRNGKey(0), 0.1))
+    y2 = np.asarray(hash_dropout(x, jax.random.PRNGKey(1), 0.1))
+    np.testing.assert_array_equal(y1, y1b)  # same key reproduces
+    keep1 = y1 > 0
+    assert abs(keep1.mean() - 0.9) < 0.01
+    assert not np.array_equal(keep1, y2 > 0)
+    np.testing.assert_allclose(y1[keep1], 1 / 0.9, rtol=1e-6)
+    # adjacent-counter decorrelation (avalanche sanity)
+    f = keep1.astype(np.float64).ravel()
+    corr = np.corrcoef(f[:-1], f[1:])[0, 1]
+    assert abs(corr) < 0.02, corr
+    # per-row keep rates concentrate like iid draws (no stripes)
+    rm = keep1.mean(axis=1)
+    assert rm.std() < 3 * np.sqrt(0.1 * 0.9 / 1024), rm.std()
+
+
 def test_pallas_keep_mask_interpret():
     """Keep-mask generator under the simulator: shape/dtype, all-keep
     (all-zero sim PRNG bits), gradient isolation via stop_gradient."""

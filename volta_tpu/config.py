@@ -126,7 +126,16 @@ class VoltaConfig:
     # dropout site (~4.0 ms/step of the 7.4 ms hidden-dropout cost at b256).
     # The mask *apply* (multiply + residual + LN) stays in XLA where it
     # fuses into the matmul epilogues.
-    use_pallas_dropout_mask: bool = True
+    use_pallas_dropout_mask: bool = False
+    # Counter-based hidden dropout: keep bit = murmur3-fmix32(position +
+    # seed) < threshold — a pure function of (iota, seed) that XLA fuses
+    # into the surrounding epilogue and rematerialises in the backward, so
+    # there is no RNG bits tensor and no saved mask at all. Same
+    # Bernoulli(1-rate) marginal as jax.random.bernoulli. Measured on v5e
+    # (b256 VQA step): 88.5 ms vs 92.3 ms RngBitGenerator bernoulli vs
+    # 91.4 ms Pallas mask kernel (which stays available via
+    # use_pallas_dropout_mask as the draw-replay-safe alternative).
+    use_hash_dropout: bool = True
 
     _KNOWN = None  # populated below
 

@@ -36,7 +36,7 @@ def _make_ln(cfg: VoltaConfig, dim: int, name: str) -> LayerNorm:
                      cfg.use_fused_residual_ln,
                      pallas_mask=cfg.use_pallas and
                      cfg.use_pallas_dropout_mask and not cfg.remat_ff,
-                     name=name)
+                     hash_mask=cfg.use_hash_dropout, name=name)
 
 
 def _split_heads(x, num_heads):
