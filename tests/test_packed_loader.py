@@ -222,6 +222,30 @@ def test_concap_device_store_matches_packed(tmp_path):
             err_msg=key)
 
 
+def test_concap_store_target_pruning(tmp_path):
+    """targets= prunes per-objective arrays (NCE needs no cls/obj/attr);
+    the materialised batch simply omits the pruned keys."""
+    from volta_tpu.parallel.train_step import materialize_cc_store_batch
+
+    ds = _make_cc(str(tmp_path), n=8)
+    ds.enable_device_store(cache=False)
+    full = ds.device_store_arrays()
+    nce = ds.device_store_arrays(targets={"2"})
+    assert "cls" in full and "obj_l" in full
+    assert "cls" not in nce and "obj_l" not in nce and "attr_c" not in nce
+    assert "feat" in nce and "ovl" in nce
+    kl = ds.device_store_arrays(targets={"0"})
+    assert "cls" in kl and "obj_l" not in kl
+
+    idx = np.array([1, 3])
+    small = ds.get_batch(idx)
+    got = materialize_cc_store_batch(nce, small, ds_cfg(ds))
+    assert "image_cls" not in got and "image_feat" in got
+    want = materialize_cc_store_batch(full, small, ds_cfg(ds))
+    np.testing.assert_allclose(np.asarray(got["image_feat"], np.float32),
+                               np.asarray(want["image_feat"], np.float32))
+
+
 def ds_cfg(ds):
     """Minimal cfg view for materialize_cc_store_batch."""
     class C:

@@ -74,17 +74,20 @@ def main():
 
     mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
     n_dev = len(jax.devices())
-    store = None
     if args.device_store:
         ds.enable_device_store()
-        store = jax.device_put(ds.device_store_arrays(), jax.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
         it = iter(loader)  # small batches from here on
 
     for tgt in args.targets:
         cfg = VoltaConfig.from_json_file(args.config)
         cfg.compute_dtype = "bfloat16"
         cfg.visual_target_weights = {TARGET_IX[tgt]: 1.0}
+        store = None
+        if args.device_store:
+            # per-objective store: e.g. NCE drops the 4.3 GiB cls array
+            store = jax.device_put(
+                ds.device_store_arrays(targets={TARGET_IX[tgt]}),
+                jax.NamedSharding(mesh, jax.sharding.PartitionSpec()))
         model = VoltaForVLPreTraining(cfg)
         params = jax.jit(lambda r: model.init(
             r, host_batch["input_ids"], host_batch["image_feat"],

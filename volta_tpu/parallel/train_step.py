@@ -170,11 +170,14 @@ def materialize_cc_store_batch(store: Dict, batch: Dict, cfg) -> Dict:
     full = {k: v for k, v in batch.items()
             if k not in ("store_rows", "mrm_mask", "mrm_zero")}
     full["image_label"] = jnp.where(do_r, 1, -1).astype(jnp.int32)
-    full["image_cls"] = jnp.take(store["cls"], rows, axis=0)
-    full["obj_labels"] = jnp.take(store["obj_l"], rows, axis=0)
-    full["obj_confs"] = jnp.take(store["obj_c"], rows, axis=0)
-    full["attr_labels"] = jnp.take(store["attr_l"], rows, axis=0)
-    full["attr_confs"] = jnp.take(store["attr_c"], rows, axis=0)
+    # per-objective arrays may be pruned from the store (see
+    # ConceptCapDataset.device_store_arrays targets=...)
+    for out_key, store_key in (("image_cls", "cls"), ("obj_labels", "obj_l"),
+                               ("obj_confs", "obj_c"),
+                               ("attr_labels", "attr_l"),
+                               ("attr_confs", "attr_c")):
+        if store_key in store:
+            full[out_key] = jnp.take(store[store_key], rows, axis=0)
     full["image_id"] = rows
 
     if cfg.add_global_imgfeat:
