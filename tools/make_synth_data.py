@@ -404,6 +404,41 @@ def gen_guesswhat(args):
     print(f"guesswhat synth done -> {args.out} ({qid} qa turns)", flush=True)
 
 
+def gen_visdial(args):
+    """VisDial v1.0-layout annotations over an existing ``vqa`` features
+    store: data{questions, answers, dialogs} with 10 rounds per dialog
+    (reference: volta/datasets/visdial_dataset.py layout)."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+
+    def words(lo, hi):
+        return " ".join(WORD_STEMS[int(j)] for j in
+                        rng.randint(0, len(WORD_STEMS),
+                                    int(rng.randint(lo, hi))))
+
+    questions = [words(3, 8) + " ?" for _ in range(500)]
+    answers = [words(1, 4) for _ in range(120)]
+    n_dialogs = max(1, args.questions // 10)
+    dialogs = []
+    for _ in range(n_dialogs):
+        iid = 1000000 + int(rng.randint(args.images))
+        dialog = [{
+            "question": int(rng.randint(len(questions))),
+            "answer": int(rng.randint(len(answers))),
+            "gt_index": int(rng.randint(len(answers))),
+            "answer_options": [int(x) for x in
+                               rng.randint(0, len(answers), 100)],
+        } for _ in range(10)]
+        dialogs.append({"image_id": iid, "caption": words(4, 10),
+                        "dialog": dialog})
+    with open(os.path.join(args.out, "visdial_1.0_train.json"), "w") as f:
+        json.dump({"data": {"questions": questions, "answers": answers,
+                            "dialogs": dialogs}}, f)
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"visdial synth done -> {args.out} ({n_dialogs} dialogs)",
+          flush=True)
+
+
 def gen_snli_ve(args):
     """SNLI-VE-layout annotations over an existing ``vqa`` features store:
     jsonl with Flickr30K_ID / sentence2 / annotator_labels (reference:
@@ -605,7 +640,7 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
                  "visual7w", "snli_ve", "refcoco", "guesswhat",
-                 "flickr_grounding"):
+                 "flickr_grounding", "visdial"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -620,7 +655,7 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
-        if name in ("vcr", "nlvr2", "snli_ve", "guesswhat"):
+        if name in ("vcr", "nlvr2", "snli_ve", "guesswhat", "visdial"):
             sp.add_argument("--questions", type=int, default=20000)
         if name == "visual7w":
             sp.add_argument("--qa_per_image", type=int, default=3)
@@ -632,7 +667,8 @@ def main():
      "nlvr2": gen_nlvr2, "visual7w": gen_visual7w,
      "snli_ve": gen_snli_ve, "refcoco": gen_refcoco,
      "guesswhat": gen_guesswhat,
-     "flickr_grounding": gen_flickr_grounding}[args.cmd](args)
+     "flickr_grounding": gen_flickr_grounding,
+     "visdial": gen_visdial}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,6 @@ python -u train_task.py \
   --tasks_config_file "$SYNTH/nlvr2/tasks.yml" --task 12 \
   --vocab_file "$SYNTH/nlvr2/vocab.txt" \
   --output_dir "$SYNTH/nlvr2/save" --logdir "$SYNTH/nlvr2/logs" \
-  --num_train_epochs 1 --num_workers 2 --in_memory True \
+  --num_train_epochs 1 --num_workers 2 --in_memory True --device_store \
   --clip_grad_norm 1.0 --adam_correct_bias --weight_decay 0.01
 echo "=== done ($(date))"

@@ -214,30 +214,62 @@ def _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate, bt):
     return out
 
 
-def _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt):
+def _dropout_fwd_core(qh, kh, vh, bias_b, seed_arr, scale, rate, bt):
+    """Head-major core: qh/kh/vh [H,B,L,D], bias_b [B,1,Lk] ->
+    (out [H,B,Lq,D], mask [H,B,Lq,Lk])."""
     TRACE_COUNT[0] += 1
-    b, lq, h, d = q.shape
-    lk = k.shape[1]
-    qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
-    bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
-                              (b, 1, 1, lk)).reshape(b, 1, lk)
+    h, b, lq, d = qh.shape
+    lk = kh.shape[2]
     blk = _blk(bt, d)
-    out, mask = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_dropout_fwd_kernel, scale=scale, rate=rate),
         grid=(h, b // bt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk)],
         out_specs=[blk(lq), _mask_blk(bt, lq, lk)],
-        out_shape=[jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((h, b, lq, d), qh.dtype),
                    jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16)],
         interpret=_interpret(),
     )(seed_arr, qh, kh, vh, bias_b)
+
+
+def _bias_bcast(bias, b, lk):
+    return jnp.broadcast_to(bias.astype(jnp.float32),
+                            (b, 1, 1, lk)).reshape(b, 1, lk)
+
+
+def _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    out, mask = _dropout_fwd_core(_head_major(q), _head_major(k),
+                                  _head_major(v), _bias_bcast(bias, b, lk),
+                                  seed_arr, scale, rate, bt)
     return jnp.transpose(out, (1, 2, 0, 3)), mask
 
 
 def _dropout_fwd_rule(q, k, v, bias, seed_arr, scale, rate, bt):
     out, mask = _dropout_fwd_impl(q, k, v, bias, seed_arr, scale, rate, bt)
     return out, (q, k, v, bias, mask)
+
+
+def _dropout_bwd_core(qh, kh, vh, bias_b, gh, mask, scale, rate, bt):
+    """Head-major backward core -> (dqh, dkh, dvh) in [H,B,L,D]."""
+    h, b, lq, d = qh.shape
+    lk = kh.shape[2]
+    blk = _blk(bt, d)
+    return pl.pallas_call(
+        functools.partial(_attn_dropout_bwd_kernel, scale=scale, rate=rate),
+        grid=(h, b // bt),
+        in_specs=[blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk), blk(lq),
+                  _mask_blk(bt, lq, lk)],
+        out_specs=[blk(lq), blk(lk), blk(lk)],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, b, lq, d), qh.dtype),
+            jax.ShapeDtypeStruct((h, b, lk, d), kh.dtype),
+            jax.ShapeDtypeStruct((h, b, lk, d), vh.dtype),
+        ],
+        interpret=_interpret(),
+    )(qh, kh, vh, bias_b, gh, mask)
 
 
 def _dropout_bwd_rule(scale, rate, bt, res, g):
@@ -247,28 +279,60 @@ def _dropout_bwd_rule(scale, rate, bt, res, g):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     qh, kh, vh, gh = (_head_major(x) for x in (q, k, v, g))
-    bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
-                              (b, 1, 1, lk)).reshape(b, 1, lk)
-    blk = _blk(bt, d)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_dropout_bwd_kernel, scale=scale, rate=rate),
-        grid=(h, b // bt),
-        in_specs=[blk(lq), blk(lk), blk(lk), _bias_blk(bt, lk), blk(lq),
-                  _mask_blk(bt, lq, lk)],
-        out_specs=[blk(lq), blk(lk), blk(lk)],
-        out_shape=[
-            jax.ShapeDtypeStruct((h, b, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((h, b, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((h, b, lk, d), v.dtype),
-        ],
-        interpret=_interpret(),
-    )(qh, kh, vh, bias_b, gh, mask)
+    dq, dk, dv = _dropout_bwd_core(qh, kh, vh, _bias_bcast(bias, b, lk),
+                                   gh, mask, scale, rate, bt)
     back = lambda x: jnp.transpose(x, (1, 2, 0, 3))
     dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
     return (back(dq), back(dk), back(dv), jnp.zeros_like(bias), dseed)
 
 
 _pallas_dropout_attention.defvjp(_dropout_fwd_rule, _dropout_bwd_rule)
+
+
+# -------------------------------------------- head-major layout (no xpose)
+def dropout_attention_head_major(qh, kh, vh, bias, scale, rate, seed,
+                                 batch_tile: int = 16):
+    """Dropout attention on already head-major [H,B,L,D] operands: no
+    layout ops in either direction. Used by tools/microbench_attn_layout.py
+    to price the [B,L,H,D]<->[H,B,L,D] transposes the standard entry point
+    pays around every kernel call."""
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    h, b, lq, d = qh.shape
+    bt = _pick_tile(b, batch_tile, lq, kh.shape[2], d)
+    return _dropout_attention_hm_layout(qh, kh, vh, bias, seed_arr, scale,
+                                        rate, bt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _dropout_attention_hm_layout(qh, kh, vh, bias, seed_arr, scale, rate,
+                                 bt):
+    out, _ = _dropout_fwd_core(qh, kh, vh,
+                               _bias_bcast(bias, qh.shape[1], kh.shape[2]),
+                               seed_arr, scale, rate, bt)
+    return out
+
+
+def _hm_layout_fwd(qh, kh, vh, bias, seed_arr, scale, rate, bt):
+    out, mask = _dropout_fwd_core(qh, kh, vh,
+                                  _bias_bcast(bias, qh.shape[1],
+                                              kh.shape[2]),
+                                  seed_arr, scale, rate, bt)
+    return out, (qh, kh, vh, bias, mask)
+
+
+def _hm_layout_bwd(scale, rate, bt, res, g):
+    import numpy as _np
+
+    qh, kh, vh, bias, mask = res
+    dq, dk, dv = _dropout_bwd_core(qh, kh, vh,
+                                   _bias_bcast(bias, qh.shape[1],
+                                               kh.shape[2]),
+                                   g, mask, scale, rate, bt)
+    dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
+    return (dq, dk, dv, jnp.zeros_like(bias), dseed)
+
+
+_dropout_attention_hm_layout.defvjp(_hm_layout_fwd, _hm_layout_bwd)
 
 
 # ------------------------------------------------- hidden-mask piggyback
