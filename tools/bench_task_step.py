@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Device-only step-rate benchmark for an arbitrary fine-tuning task.
+
+The loader-in-loop hardware runs (tools/run_hw_*.sh) measure the full
+system; this probe isolates the jitted train step by looping over ONE
+device-resident dense batch pulled from the same dataset/loader, so the
+"X% of device-only" comparison (VERDICT round 2 #3) is apples-to-apples:
+same config, same process reshape, same batch layout, no host work.
+
+Usage (single TPU process):
+  python tools/bench_task_step.py --config_file configs/ctrl_uniter_base.json \
+      --tasks_config_file .synth/vcr/tasks.yml --task 5 \
+      --vocab_file .synth/vcr/vocab.txt [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--tasks_config_file", required=True)
+    p.add_argument("--task", required=True)
+    p.add_argument("--vocab_file", required=True)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from volta_tpu.config import VoltaConfig
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
+    from volta_tpu.parallel import (create_train_state, make_mesh,
+                                    make_task_train_step, replicated,
+                                    shard_batch)
+    from volta_tpu.task_utils import (load_dataset, load_task_config,
+                                      process_batch, task_key)
+
+    cfg = VoltaConfig.from_json_file(args.config_file)
+    cfg.compute_dtype = args.compute_dtype
+    task_cfg = load_task_config(args.tasks_config_file)
+    task = task_key(args.task)
+    tc = task_cfg[task]
+    if tc.get("fusion_method"):
+        cfg.fusion_method = tc["fusion_method"]
+
+    ds_args = SimpleNamespace(
+        bert_model="bert-base-uncased", do_lower_case=True,
+        vocab_file=args.vocab_file, grad_acc_steps=1, seed=0,
+        num_workers=0, in_memory=False)
+    data = load_dataset(ds_args, cfg, task_cfg, args.task, split="train")
+    if "num_labels" not in tc and hasattr(data["train_dataset"], "num_labels"):
+        tc["num_labels"] = data["train_dataset"].num_labels
+    b = data["batch_size"]
+    batch = {k: np.asarray(v)
+             for k, v in next(iter(data["train_loader"])).items()}
+
+    model = VoltaForVLTasks(cfg, task_cfg, (task,))
+    inputs, _ = process_batch(tc, batch)
+    params = jax.jit(lambda r: model.init(
+        r, inputs["input_ids"], inputs["image_feat"], inputs["image_loc"],
+        task, inputs["token_type_ids"], inputs["attention_mask"],
+        inputs["image_attention_mask"]))(jax.random.PRNGKey(0))["params"]
+
+    mesh = make_mesh(n_data=1)
+    tx = build_optimizer("adamw", warmup_linear_schedule(2e-5, 100, 10000),
+                         params, clip_norm=1.0, weight_decay=0.01)
+    state = create_train_state(jax.random.PRNGKey(1), params, tx)
+    state = jax.device_put(state, replicated(mesh))
+    del params
+    step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+
+    # two warmup calls (donation relayout), then the timed loop; sync via
+    # float() — block_until_ready is unreliable on this platform
+    state, m = step(state, sharded)
+    float(m["loss"])
+    state, m = step(state, sharded)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, sharded)
+    _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    ms = dt / args.iters * 1000
+    print(json.dumps({
+        "metric": f"{tc['name']} train step (device-only)",
+        "value": round(b * args.iters / dt, 1),
+        "unit": f"pairs/sec/chip (b{b} {tc.get('process', 'normal')} "
+                f"process, {os.path.basename(args.config_file)})",
+        "ms_per_step": round(ms, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
