@@ -59,6 +59,14 @@ def parse_args():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    # accepted for reference-script drop-in compat; no-ops here
+    # (reference: eval_retrieval.py:68-81 — drop_last/use_chunk tune the
+    # torch loader, local_rank is a torch.distributed.launch artifact; our
+    # gallery is device-resident and scored in fixed-shape chunks)
+    p.add_argument("--drop_last", action="store_true")
+    p.add_argument("--use_chunk", default=0, type=float)
+    p.add_argument("--local_rank", type=int, default=-1)
     return p.parse_args()
 
 
@@ -84,6 +92,9 @@ def main():
     from volta_tpu.task_utils import (load_dataset_eval, load_task_config,
                                       task_key)
 
+    from volta_tpu.train_utils import set_seed
+
+    set_seed(args.seed)
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
     if args.no_pallas:

@@ -159,3 +159,24 @@ def test_init_classifier_from_answers(tmp_path):
     ids = tok.convert_tokens_to_ids(tok.tokenize("red ball"))
     np.testing.assert_allclose(kernel[:, 2], word[np.asarray(ids)].mean(0),
                                rtol=1e-6)
+
+
+def test_build_optimizer_betas_eps_correct_bias_wired():
+    """--adam_betas / --adam_epsilon / --adam_correct_bias must actually
+    reach the update rule (reference: train_concap.py:101,227 runs AdamW at
+    betas (0.9, 0.98))."""
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    g = {"w": jnp.full((4,), 0.5, jnp.float32)}
+
+    def upd(**kw):
+        tx = build_optimizer("adamw", lambda s: 1e-3, params, **kw)
+        st = tx.init(params)
+        u1, st = tx.update(g, st, params)
+        u2, _ = tx.update(g, st, params)  # step 2 separates b1 effects
+        return np.asarray(u2["w"])
+
+    base = upd()
+    assert not np.allclose(base, upd(betas=(0.9, 0.98)))
+    assert not np.allclose(base, upd(eps=1e-2))
+    assert not np.allclose(base, upd(correct_bias=True))
+    np.testing.assert_allclose(base, upd(betas=(0.9, 0.999), eps=1e-6))

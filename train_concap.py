@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--objective", default=0, type=int)
     # Scheduler
     p.add_argument("--warmup_proportion", default=0.1, type=float)
+    p.add_argument("--warmup_steps", default=None, type=float,
+                   help="overrides --warmup_proportion "
+                        "(reference: train_concap.py:79-81)")
     # Seed / workers
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
@@ -60,6 +63,9 @@ def parse_args():
                         "assemble batches by vectorised gathers")
     # Optimization
     p.add_argument("--adam_epsilon", default=1e-6, type=float)
+    p.add_argument("--adam_betas", default=(0.9, 0.98), nargs="+",
+                   type=float,
+                   help="AdamW betas (reference: train_concap.py:101)")
     p.add_argument("--weight_decay", default=0.01, type=float)
     p.add_argument("--clip_grad_norm", default=0.0, type=float)
     # TPU-native extras
@@ -161,12 +167,14 @@ def main():
     if args.steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
     total = max(1, steps_per_epoch * args.num_train_epochs)
-    sched = warmup_linear_schedule(args.learning_rate,
-                                   int(total * args.warmup_proportion), total)
+    warmup = int(args.warmup_steps) if args.warmup_steps else \
+        int(total * args.warmup_proportion)
+    sched = warmup_linear_schedule(args.learning_rate, warmup, total)
     tx = build_optimizer("adamw", sched, params,
                          weight_decay=args.weight_decay,
                          clip_norm=args.clip_grad_norm or None,
-                         grad_accum_steps=args.grad_acc_steps)
+                         grad_accum_steps=args.grad_acc_steps,
+                         betas=args.adam_betas, eps=args.adam_epsilon)
 
     mesh = make_mesh(n_data=data_parallel_size(per_host_batch))
     state = create_train_state(jax.random.PRNGKey(args.seed + 1), params, tx)

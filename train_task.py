@@ -178,7 +178,9 @@ def main():
     tx = build_optimizer(opt_name, sched, params,
                          weight_decay=args.weight_decay,
                          clip_norm=args.clip_grad_norm or None,
-                         grad_accum_steps=args.grad_acc_steps)
+                         grad_accum_steps=args.grad_acc_steps,
+                         eps=args.adam_epsilon,
+                         correct_bias=args.adam_correct_bias)
     tx = apply_freeze(tx, params, cfg.fixed_layers)
 
     # nlvr doubles the row count inside the step, so any divisor of the

@@ -179,15 +179,29 @@ def plain_radam(lr, **kw):
 # -------------------------------------------------------------- assembly
 def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
                     clip_norm: Optional[float] = None,
-                    grad_accum_steps: int = 1) -> optax.GradientTransformation:
-    """Assemble the full chain: clip -> optimizer(+decay mask) -> accum."""
+                    grad_accum_steps: int = 1, betas=None,
+                    eps: Optional[float] = None,
+                    correct_bias: bool = False
+                    ) -> optax.GradientTransformation:
+    """Assemble the full chain: clip -> optimizer(+decay mask) -> accum.
+
+    ``betas``/``eps`` override the per-optimizer defaults — the reference
+    pretraining CLI runs AdamW at betas (0.9, 0.98)
+    (reference: train_concap.py:101,227). ``correct_bias`` only applies to
+    AdamW (pytorch_transformers semantics)."""
     mask = no_decay_mask(params)
+    kw = {}
+    if betas is not None:
+        kw["b1"], kw["b2"] = float(betas[0]), float(betas[1])
+    if eps is not None:
+        kw["eps"] = float(eps)
     if name == "adamw":
-        tx = adamw(schedule, weight_decay=weight_decay, mask=mask)
+        tx = adamw(schedule, weight_decay=weight_decay, mask=mask,
+                   correct_bias=correct_bias, **kw)
     elif name == "radam":
-        tx = radam(schedule, weight_decay=weight_decay, mask=mask)
+        tx = radam(schedule, weight_decay=weight_decay, mask=mask, **kw)
     elif name == "plain_radam":
-        tx = plain_radam(schedule, weight_decay=weight_decay, mask=mask)
+        tx = plain_radam(schedule, weight_decay=weight_decay, mask=mask, **kw)
     else:
         raise ValueError(f"unknown optimizer {name}")
     if clip_norm:
