@@ -102,7 +102,8 @@ def main():
                                     shard_batch)
     from volta_tpu.parallel.mesh import data_parallel_size
     from volta_tpu.task_utils import make_tokenizer
-    from volta_tpu.train_utils import (MetricsLogger, save_command, set_seed,
+    from volta_tpu.train_utils import (MetricsLogger, fetch_metric_window,
+                                       host_schedule, save_command, set_seed,
                                        summary_parameters)
 
     import jax as _jax
@@ -170,6 +171,7 @@ def main():
     warmup = int(args.warmup_steps) if args.warmup_steps else \
         int(total * args.warmup_proportion)
     sched = warmup_linear_schedule(args.learning_rate, warmup, total)
+    lr_of = host_schedule(sched)
     tx = build_optimizer("adamw", sched, params,
                          weight_decay=args.weight_decay,
                          clip_norm=args.clip_grad_norm or None,
@@ -229,10 +231,11 @@ def main():
                 float(m["loss"])
                 jax.profiler.stop_trace()
             if len(pending) >= 20:
-                for gs, pm in pending:
-                    tb.step_train_cc(epoch, gs, float(pm["masked_t"]),
-                                     float(pm["masked_v"]),
-                                     float(pm["itm"]), float(sched(gs)))
+                # ONE fused device transfer per window (see
+                # train_utils.fetch_metric_window) + host-side lr
+                for gs, mt, mv, itm in fetch_metric_window(
+                        pending, ("masked_t", "masked_v", "itm")):
+                    tb.step_train_cc(epoch, gs, mt, mv, itm, lr_of(gs))
                 pending.clear()
                 tb.show_train_cc(epoch, global_step)
 
@@ -240,7 +243,8 @@ def main():
             vals = []
             for batch in val_loader:
                 m = eval_fn(state.params, shard_batch(mesh, batch))
-                vals.append(float(m["loss"]))
+                vals.append((0, m))  # fetched in one fused transfer below
+            vals = [v for _, v in fetch_metric_window(vals, ("loss",))]
             logger.info("epoch %d val loss %.4f", epoch,
                         float(np.mean(vals)) if vals else float("nan"))
         if jax.process_index() == 0:

@@ -103,6 +103,7 @@ def main():
     from volta_tpu.parallel.mesh import data_parallel_size
     from volta_tpu.task_utils import load_dataset, load_task_config, task_key
     from volta_tpu.train_utils import (MetricsLogger, apply_freeze,
+                                       fetch_metric_window, host_schedule,
                                        save_command, set_seed,
                                        summary_parameters)
 
@@ -229,7 +230,7 @@ def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
     best_score = -1.0
     global_step = int(state.step)
-    lr_of = sched
+    lr_of = host_schedule(sched)
     pending = []
     for epoch in range(start_epoch, args.num_train_epochs):
         train_loader.set_epoch(epoch)
@@ -250,20 +251,22 @@ def main():
                     jax.process_index() == 0:
                 float(metrics["loss"])
                 jax.profiler.stop_trace()
-            # fetch metrics in windows — a per-step device_get would
-            # serialise host and device
+            # fetch metrics in windows and in ONE fused transfer — a
+            # per-scalar device_get costs a round trip each and would
+            # serialise host and device (~90 ms/step over a remote link)
             if len(pending) >= tb.period:
-                for gs, m in pending:
-                    tb.step_train(epoch, gs, float(m["loss"]),
-                                  float(m["score"]), float(lr_of(gs)), task)
+                for gs, loss, score in fetch_metric_window(
+                        pending, ("loss", "score")):
+                    tb.step_train(epoch, gs, loss, score, lr_of(gs), task)
                 pending.clear()
 
         # validation + checkpointing per epoch
         if val_loader is not None and (epoch + 1) % args.eval_period == 0:
-            for batch in val_loader:
-                out = eval_step(state.params, shard_batch(mesh, batch))
-                tb.step_val(float(out["loss"]), float(out["score"]),
-                            int(out["batch_size"]), task)
+            outs = [(0, eval_step(state.params, shard_batch(mesh, batch)))
+                    for batch in val_loader]
+            for _, loss, score, bsz in fetch_metric_window(
+                    outs, ("loss", "score", "batch_size")):
+                tb.step_val(loss, score, int(round(bsz)), task)
             score = tb.show_val(epoch, global_step, task)
             if score > best_score and jax.process_index() == 0:
                 best_score = score

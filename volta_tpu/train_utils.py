@@ -146,6 +146,43 @@ class MetricsLogger:
             self._txt.close()
 
 
+def fetch_metric_window(pending, keys):
+    """Fetch a window of per-step metric dicts in ONE device transfer.
+
+    A per-scalar ``float()`` costs a full host<->device round trip; over a
+    remote-TPU link (~30 ms RTT) a 20-step x 3-metric window fetched
+    scalar-by-scalar serialises the loop at ~90 ms/step of pure latency.
+    Stacking on device and pulling one buffer amortises that to a single
+    round trip per window. Returns ``[(tag, v0, v1, ...), ...]`` floats in
+    ``keys`` order for each ``(tag, metrics)`` in ``pending``.
+    """
+    if not pending:
+        return []
+    fused = np.asarray(jnp.stack(
+        [jnp.asarray(m[k], jnp.float32) for _, m in pending for k in keys]))
+    k = len(keys)
+    return [(tag,) + tuple(float(v) for v in fused[i * k:(i + 1) * k])
+            for i, (tag, _) in enumerate(pending)]
+
+
+def host_schedule(sched):
+    """Wrap an optax schedule so logging its lr never touches the device.
+
+    Schedules are built from jnp ops, so calling one eagerly places tiny
+    computations on the default (TPU) backend — one device round trip per
+    logged step. Evaluate on the host CPU backend instead; falls back to
+    the default backend if no CPU devices exist."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return lambda s: float(sched(s))
+
+    def fn(s):
+        with jax.default_device(cpu):
+            return float(sched(s))
+    return fn
+
+
 def freeze_mask(params, fixed_layers: Iterable[str]):
     """True where the parameter trains; substring match on the joined path
     (reference: volta/train_utils.py:250-255)."""
