@@ -135,17 +135,27 @@ def main():
 
     eval_step = make_task_eval_step(model, task_cfg, task)
 
+    from volta_tpu.train_utils import fetch_metric_window
+
     results = []
-    total_loss, total_score, total_n = 0.0, 0.0, 0
+    metric_refs = []
     for batch in loader:
         out = eval_step(variables["params"], batch)
-        total_loss += float(out["loss"])
-        total_score += float(out["score"])
-        total_n += int(out["batch_size"])
+        # predictions must come to host per batch (they are the output);
+        # the loss/score scalars are kept as device refs and fetched in
+        # one fused transfer at the end (a float() each would cost a full
+        # round trip per batch)
+        metric_refs.append((0, out))
         from volta_tpu.task_utils import process_batch as pb
         _, info = pb(tc, batch)
         collect_results(tc["type"], out["prediction"], batch, info, ds,
                         results)
+    total_loss = total_score = total_n = 0
+    for _, loss, score, bsz in fetch_metric_window(
+            metric_refs, ("loss", "score", "batch_size")):
+        total_loss += loss
+        total_score += score
+        total_n += int(round(bsz))
     if total_n:
         logger.info("eval loss %.4f score %.4f", total_loss / max(total_n, 1),
                     total_score / total_n)
