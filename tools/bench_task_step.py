@@ -7,10 +7,15 @@ device-resident dense batch pulled from the same dataset/loader, so the
 "X% of device-only" comparison (VERDICT round 2 #3) is apples-to-apples:
 same config, same process reshape, same batch layout, no host work.
 
+With --with_data the probe instead times the same jitted step over FRESH
+batches from the real DataLoader (device-resident feature store on by
+default), giving the precise loader-in-loop rate that the CLI's
+second-resolution log timestamps cannot.
+
 Usage (single TPU process):
   python tools/bench_task_step.py --config_file configs/ctrl_uniter_base.json \
       --tasks_config_file .synth/vcr/tasks.yml --task 5 \
-      --vocab_file .synth/vcr/vocab.txt [--iters 30]
+      --vocab_file .synth/vcr/vocab.txt [--iters 30] [--with_data]
 """
 
 import argparse
@@ -31,6 +36,11 @@ def main():
     p.add_argument("--vocab_file", required=True)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--with_data", action="store_true",
+                   help="time fresh loader batches (device store when the "
+                        "dataset supports it) instead of one resident batch")
+    p.add_argument("--no_device_store", action="store_true")
+    p.add_argument("--num_workers", type=int, default=2)
     args = p.parse_args()
 
     import jax
@@ -58,7 +68,8 @@ def main():
     ds_args = SimpleNamespace(
         bert_model="bert-base-uncased", do_lower_case=True,
         vocab_file=args.vocab_file, grad_acc_steps=1, seed=0,
-        num_workers=0, in_memory=False)
+        num_workers=args.num_workers if args.with_data else 0,
+        in_memory=args.with_data)
     data = load_dataset(ds_args, cfg, task_cfg, args.task, split="train")
     if "num_labels" not in tc and hasattr(data["train_dataset"], "num_labels"):
         tc["num_labels"] = data["train_dataset"].num_labels
@@ -79,25 +90,57 @@ def main():
     state = create_train_state(jax.random.PRNGKey(1), params, tx)
     state = jax.device_put(state, replicated(mesh))
     del params
-    step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh)
-    sharded = shard_batch(mesh, batch)
 
-    # two warmup calls (donation relayout), then the timed loop; sync via
-    # float() — block_until_ready is unreliable on this platform
-    state, m = step(state, sharded)
-    float(m["loss"])
-    state, m = step(state, sharded)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    store = None
+    train_ds = data["train_dataset"]
+    label = "device-only"
+    if args.with_data and not args.no_device_store and \
+            hasattr(train_ds, "enable_device_store"):
+        # same ordering as train_task.py: loader built first, then the
+        # store flag flips the dataset's batch emission to indices+targets
+        train_ds.enable_device_store(
+            feat_dtype=("bfloat16" if args.compute_dtype == "bfloat16"
+                        else "float32"))
+        store = jax.device_put(train_ds.device_store_arrays(),
+                               replicated(mesh))
+    step = make_task_train_step(model, tx, task_cfg, task, mesh=mesh,
+                                store=store)
+
+    # sync via float() — block_until_ready is unreliable on this platform
+    if args.with_data:
+        label = ("device-store loader-in-loop" if store is not None
+                 else "loader-in-loop")
+        it = iter(data["train_loader"])
+        state, m = step(state, shard_batch(mesh, next(it)))  # compile
+        float(m["loss"])
+        n = 0
+        t0 = time.perf_counter()
+        for hb in it:
+            state, m = step(state, shard_batch(mesh, hb))
+            n += 1
+            if n >= args.iters:
+                break
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        iters = n
+    else:
+        sharded = shard_batch(mesh, batch)
+        # two warmup calls (donation relayout), then the timed loop
         state, m = step(state, sharded)
-    _ = float(m["loss"])
-    dt = time.perf_counter() - t0
+        float(m["loss"])
+        state, m = step(state, sharded)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = step(state, sharded)
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        iters = args.iters
 
-    ms = dt / args.iters * 1000
+    ms = dt / iters * 1000
     print(json.dumps({
-        "metric": f"{tc['name']} train step (device-only)",
-        "value": round(b * args.iters / dt, 1),
+        "metric": f"{tc['name']} train step ({label})",
+        "value": round(b * iters / dt, 1),
         "unit": f"pairs/sec/chip (b{b} {tc.get('process', 'normal')} "
                 f"process, {os.path.basename(args.config_file)})",
         "ms_per_step": round(ms, 1)}), flush=True)
