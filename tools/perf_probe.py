@@ -33,6 +33,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--variants", nargs="*", default=["base", "remat_ff"])
+    p.add_argument("--trace", default=None,
+                   help="capture a jax.profiler trace of the timed full-step "
+                        "loop into this directory (first variant only); "
+                        "analyze with tools/analyze_trace.py")
     args = p.parse_args()
 
     import jax
@@ -162,11 +166,16 @@ def main():
         float(m["loss"])
         m = one_step()
         float(m["loss"])
+        tracing = args.trace and variant == args.variants[0]
+        if tracing:
+            jax.profiler.start_trace(args.trace)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             m = one_step()
         float(m["loss"])
         res["full_step_ms"] = (time.perf_counter() - t0) / args.iters * 1000
+        if tracing:
+            jax.profiler.stop_trace()
         res["pairs_per_sec"] = round(b / res["full_step_ms"] * 1000, 1)
         print(json.dumps({"variant": variant,
                           **{k2: round(v, 2) for k2, v in res.items()}}),
