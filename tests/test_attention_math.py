@@ -241,3 +241,83 @@ def test_pallas_dropout_attention_interpret():
         lhs = float(f(v + dv_dir) - f(v))
     rhs = float(jnp.sum(g_v * dv_dir))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-3)
+
+
+def test_natural_layout_eval_kernel_interpret():
+    """Natural-layout no-dropout kernel (fwd AND fused Pallas bwd) vs the
+    XLA composition, under the Mosaic simulator."""
+    from volta_tpu.ops import pallas_attention as pa
+    from volta_tpu.ops.attention import _xla_fused_attention
+
+    rng = np.random.RandomState(7)
+    B, Lq, Lk, H, D = 8, 16, 24, 3, 32
+    q = jnp.asarray(rng.randn(B, Lq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    bias = additive_mask(jnp.asarray(
+        (rng.rand(B, Lk) > 0.3).astype(np.float32)))
+    scale = 1.0 / np.sqrt(D)
+
+    with pa.interpret_mode():
+        got = pa.pallas_fused_attention_nat(q, k, v, bias, scale)
+    ref = _xla_fused_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(jnp.tanh(_xla_fused_attention(q, k, v, bias, scale)))
+
+    def loss_nat(q, k, v, bias):
+        return jnp.sum(jnp.tanh(
+            pa.pallas_fused_attention_nat(q, k, v, bias, scale)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    with pa.interpret_mode():
+        g_nat = jax.grad(loss_nat, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_ref, g_nat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_natural_layout_dropout_kernel_interpret():
+    """Natural-layout dropout kernel plumbing vs the head-major kernel
+    under the Mosaic simulator (whose PRNG yields all-zero bits, so both
+    keep everything at 1/keep scale — layout/spec equivalence is what this
+    covers; the real-PRNG semantics run on hardware in validate_tpu.py)."""
+    from volta_tpu.ops import pallas_attention as pa
+    from volta_tpu.ops.attention import _xla_fused_attention
+
+    rng = np.random.RandomState(8)
+    B, Lq, Lk, H, D = 8, 16, 16, 2, 32
+    q = jnp.asarray(rng.randn(B, Lq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H, D).astype(np.float32))
+    bias = additive_mask(jnp.asarray(
+        (rng.rand(B, Lk) > 0.3).astype(np.float32)))
+    scale = 1.0 / np.sqrt(D)
+    rate = 0.25
+
+    with pa.interpret_mode():
+        out_hm = pa.pallas_dropout_attention(q, k, v, bias, scale, rate, 42)
+        out_nat = pa.pallas_dropout_attention(q, k, v, bias, scale, rate,
+                                              42, natural=True)
+    np.testing.assert_allclose(np.asarray(out_nat), np.asarray(out_hm),
+                               rtol=1e-5, atol=1e-6)
+    # simulator keep-all: out == xla_out / (1 - rate)
+    ref = np.asarray(_xla_fused_attention(q, k, v, bias, scale)) / (1 - rate)
+    np.testing.assert_allclose(np.asarray(out_nat), ref,
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(jnp.tanh(fn(q, k, v)))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    with pa.interpret_mode():
+        g_hm = loss(lambda q, k, v: pa.pallas_dropout_attention(
+            q, k, v, bias, scale, rate, 42))
+        g_nat = loss(lambda q, k, v: pa.pallas_dropout_attention(
+            q, k, v, bias, scale, rate, 42, natural=True))
+    for a, b in zip(g_hm, g_nat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -109,6 +109,10 @@ def main():
             # A/B: enable the (default-off, measured 95.9 vs 92.8 ms)
             # in-kernel hidden-dropout mask piggyback
             cfg.fuse_hidden_dropout = True
+        elif variant == "natattn":
+            # A/B: natural-layout [B,L,H,D] attention kernels (no head-major
+            # transposes -> no XLA layout copies around the kernels)
+            cfg.attn_natural_layout = True
         elif variant == "fused_resln":
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base

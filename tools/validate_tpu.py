@@ -137,6 +137,37 @@ def main():
                                atol=1e-4)
     print("eval kernel fused bwd parity OK")
 
+    # 3c. natural-layout kernels ([B,L,H,D] blocks, no head-major copies):
+    # eval fwd+bwd exact parity vs XLA; dropout variant must reproduce per
+    # seed, preserve expectation, and keep fwd/bwd mask-consistent
+    gn = np.asarray(jax.jit(lambda *a: pa.pallas_fused_attention_nat(
+        *a, scale))(q, k, v, bias))
+    np.testing.assert_allclose(gn, ref, rtol=2e-5, atol=2e-5)
+    gne = jax.jit(jax.grad(lambda qq: jnp.sum(jnp.tanh(
+        pa.pallas_fused_attention_nat(qq, k, v, bias, scale)))))(q)
+    np.testing.assert_allclose(np.asarray(gne), np.asarray(gr), rtol=1e-3,
+                               atol=1e-4)
+    rate = 0.4
+    fn = jax.jit(lambda s: pa.pallas_dropout_attention(
+        q, k, v, bias, scale, rate, s, natural=True))
+    n1, n2, n3 = np.asarray(fn(123)), np.asarray(fn(123)), np.asarray(fn(9))
+    assert np.array_equal(n1, n2), "nat: same seed must reproduce"
+    assert not np.array_equal(n1, n3), "nat: different seeds must differ"
+    acc = np.zeros_like(ref)
+    for s in range(n):
+        acc += np.asarray(fn(3000 + s))
+    err = np.abs(acc / n - ref).max()
+    assert err < 0.5, err
+
+    def fnat(vv):
+        return jnp.sum(pa.pallas_dropout_attention(
+            q, k, vv, bias, scale, rate, 123, natural=True))
+
+    val, g_v = jax.jit(jax.value_and_grad(fnat))(v)
+    np.testing.assert_allclose(float(val), float(jnp.sum(g_v * v)),
+                               rtol=2e-3)
+    print(f"natural-layout kernels OK (E[out] err {err:.3f})")
+
     # 4. pallas layernorm fwd/bwd parity on hardware
     x = jnp.asarray(rng.randn(512, 768).astype(np.float32))
     sc = jnp.asarray(rng.randn(768).astype(np.float32))

@@ -136,6 +136,15 @@ class VoltaConfig:
     # 91.4 ms Pallas mask kernel (which stays available via
     # use_pallas_dropout_mask as the draw-replay-safe alternative).
     use_hash_dropout: bool = True
+    # Natural-layout attention kernels: block the [B,L,H,D] q/k/v arrays
+    # directly (head dim squeezed into the Pallas grid) instead of
+    # transposing to the head-major [H,B,L,D] layout. The head-major path
+    # costs an XLA layout copy per q/k/v/g/context at every attention site —
+    # ~13 ms/step (15%) at the b256 headline shapes, measured from the
+    # round-3 profile trace (tools/analyze_trace.py). The strided per-head
+    # DMA the natural kernels pay instead is far cheaper than those HBM
+    # round trips.
+    attn_natural_layout: bool = False
 
     _KNOWN = None  # populated below
 

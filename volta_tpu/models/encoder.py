@@ -92,7 +92,8 @@ class GatedAttentionSublayer(nn.Module):
         dropping = not deterministic and drop.rate > 0.0
         if not dropping and not want_probs:
             out = attn_ops.fused_attention(
-                q, k, v, bias, scale, use_pallas=self.cfg.use_pallas)
+                q, k, v, bias, scale, use_pallas=self.cfg.use_pallas,
+                natural=self.cfg.attn_natural_layout)
             return out, None
         from ..ops.pallas_attention import kernels_enabled
         if (dropping and not want_probs and self.cfg.use_pallas
@@ -109,9 +110,10 @@ class GatedAttentionSublayer(nn.Module):
                     self.make_rng("dropout"), (), 0,
                     jnp.iinfo(jnp.int32).max)
                 rate = float(drop.rate)
+                nat = self.cfg.attn_natural_layout
                 return tp.shard_dropout_attention(
                     lambda q, k, v, b, s: pallas_dropout_attention(
-                        q, k, v, b, scale, rate, s),
+                        q, k, v, b, scale, rate, s, natural=nat),
                     q, k, v, bias, seed), None
         probs = attn_ops.attention_probs(q, k, bias, scale)
         probs_kept = probs
@@ -388,14 +390,16 @@ def _fused_attn_block(p, x, bias, seed, hkeys, *, cfg, num_heads, head_dim,
     rate = cfg.attention_probs_dropout_prob
     if deterministic or rate == 0.0:
         ctx = attn_ops.fused_attention(q, k, v, bias, scale,
-                                       use_pallas=cfg.use_pallas)
+                                       use_pallas=cfg.use_pallas,
+                                       natural=cfg.attn_natural_layout)
     elif cfg.use_pallas and kernels_enabled() and (
             tp.current_mesh() is None or tp.shardable(tp.current_mesh(), q)):
         from ..ops.pallas_attention import pallas_dropout_attention
 
         ctx = tp.shard_dropout_attention(
             lambda q, k, v, b, s: pallas_dropout_attention(
-                q, k, v, b, scale, float(rate), s),
+                q, k, v, b, scale, float(rate), s,
+                natural=cfg.attn_natural_layout),
             q, k, v, bias, seed)
     else:
         probs = attn_ops.attention_probs(q, k, bias, scale)

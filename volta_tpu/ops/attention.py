@@ -49,27 +49,33 @@ def _xla_fused_attention(q, k, v, bias, scale):
     return attention_out(probs, v)
 
 
-def fused_attention(q, k, v, bias, scale, *, use_pallas: bool = True):
+def fused_attention(q, k, v, bias, scale, *, use_pallas: bool = True,
+                    natural: bool = False):
     """One-shot attention (no probs materialised for the caller).
 
     On TPU with ``use_pallas`` the Pallas kernel fuses QK^T + joint softmax +
     PV in VMEM; elsewhere falls back to the XLA composition (which XLA also
-    fuses well at these shapes).
+    fuses well at these shapes). ``natural`` selects the zero-layout-copy
+    [B,L,H,D] kernel variant.
     """
     if use_pallas and bias is not None and q.shape[1] >= 8:
-        from .pallas_attention import kernels_enabled, pallas_fused_attention
+        from .pallas_attention import (kernels_enabled,
+                                       pallas_fused_attention,
+                                       pallas_fused_attention_nat)
         if not kernels_enabled():
             return _xla_fused_attention(q, k, v, bias, scale)
+        kern = pallas_fused_attention_nat if natural \
+            else pallas_fused_attention
         from ..parallel import tp
 
         mesh = tp.current_mesh()
         try:
             if mesh is None:
-                return pallas_fused_attention(q, k, v, bias, scale)
+                return kern(q, k, v, bias, scale)
             if tp.shardable(mesh, q):
                 return tp.shard_attention(
-                    lambda q, k, v, b: pallas_fused_attention(
-                        q, k, v, b, scale), q, k, v, bias)
+                    lambda q, k, v, b: kern(q, k, v, b, scale),
+                    q, k, v, bias)
         except NotImplementedError:
             pass
     return _xla_fused_attention(q, k, v, bias, scale)

@@ -65,16 +65,23 @@ def _mix_seed(seed_ref):
     return seed_ref[0] + hi * 7919 + bi * 104729
 
 
-def _probs(q_ref, k_ref, bias_ref, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+def _probs_arr(q, k, bias, scale):
+    """Softmax probs from [bb, Lq, D] x [bb, Lk, D] arrays + [bb, 1, Lk]
+    bias -> [bb, Lq, Lk] float32 (in-VMEM; shared by the head-major and
+    natural-layout kernel bodies)."""
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [bb, Lq, Lk]
-    scores = scores * scale + bias_ref[:].astype(jnp.float32)
+    scores = scores * scale + bias.astype(jnp.float32)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _probs(q_ref, k_ref, bias_ref, scale):
+    return _probs_arr(q_ref[0], k_ref[0], bias_ref[:], scale)
 
 
 def _keep_mask(shape, rate):
@@ -133,26 +140,32 @@ def _attn_dropout_fwd_hm_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
     hm1_ref[0] = _keep01(out.shape, hidden_rate)
 
 
-def _attn_dropout_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, m_ref,
-                             dq_ref, dk_ref, dv_ref, *, scale, rate):
-    """Attention VJP; probs recomputed in VMEM, the dropout mask read back
-    from the forward's compact output."""
-    probs = _probs(q_ref, k_ref, bias_ref, scale)
-    mask = m_ref[0].astype(jnp.float32) * (1.0 / (1.0 - rate))
+def _dropout_bwd_math(q, k, v, bias, g, mask01, scale, rate):
+    """Attention-with-dropout VJP on [bb, L, D] arrays; probs recomputed in
+    VMEM, the keep mask read back from the forward's compact output."""
+    probs = _probs_arr(q, k, bias, scale)
+    mask = mask01.astype(jnp.float32) * (1.0 / (1.0 - rate))
     pd = probs * mask
-    g = g_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    v = v.astype(jnp.float32)
     dv = jax.lax.dot_general(pd, g, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * mask
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    k = k_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    q = q.astype(jnp.float32)
     dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv
+
+
+def _attn_dropout_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, m_ref,
+                             dq_ref, dk_ref, dv_ref, *, scale, rate):
+    dq, dk, dv = _dropout_bwd_math(q_ref[0], k_ref[0], v_ref[0], bias_ref[:],
+                                   g_ref[0], m_ref[0], scale, rate)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -194,16 +207,21 @@ def _bias_blk(bt, lk):
 
 
 def pallas_dropout_attention(q, k, v, bias, scale, rate, seed,
-                             batch_tile: int = 16):
+                             batch_tile: int = 16, natural: bool = False):
     """Training-path attention with in-kernel dropout on the probabilities.
 
     ``seed`` is an int32 scalar (derived from the step's dropout rng). The
     float32 probability tensor never reaches HBM; only the compact keep mask
-    is saved for the backward kernel.
+    is saved for the backward kernel. With ``natural`` the kernels block the
+    [B,L,H,D] operands directly (no head-major layout copies — see the
+    natural-layout section below).
     """
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     bt = _pick_tile(q.shape[0], batch_tile, q.shape[1], k.shape[1],
                     q.shape[3])
+    if natural:
+        return _pallas_dropout_attention_nat(q, k, v, bias, seed_arr, scale,
+                                             rate, bt)
     return _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate,
                                      bt)
 
@@ -335,6 +353,200 @@ def _hm_layout_bwd(scale, rate, bt, res, g):
 _dropout_attention_hm_layout.defvjp(_hm_layout_fwd, _hm_layout_bwd)
 
 
+# ------------------------------------------- natural [B, L, H, D] layout
+# The head-major kernels require [H,B,L,D] operands, so XLA materialises a
+# layout copy (~0.16 ms at headline shapes) for every q/k/v/g/context at
+# every attention site — ~13 ms/step (15%) total, per tools/analyze_trace.py
+# on the round-3 trace. (tools/microbench_attn_layout.py had called the
+# transposes free, but it reused one q/k/v for all 12 sites, so XLA CSE'd
+# the transpose once — a 12x under-count.) These variants block the natural
+# [B,L,H,D] arrays directly, squeezing the head dim into the grid: the QKV
+# projection outputs bitcast straight into the kernel and the cotangents
+# bitcast straight out — zero layout ops in either direction. The per-block
+# DMA is strided (128-byte chunks every H*D elements), which the saved HBM
+# round trips more than pay for; the saved keep-mask stays head-major
+# (kernel-internal, contiguous both ways).
+
+def _nat_blk(bt, l, d):
+    return pl.BlockSpec((bt, l, None, d), lambda hi, bi: (bi, 0, hi, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _attn_dropout_fwd_kernel_nat(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                                 o_ref, m_ref, *, scale, rate):
+    pltpu.prng_seed(_mix_seed(seed_ref))
+    probs = _probs_arr(q_ref[:], k_ref[:], bias_ref[:], scale)
+    keep = _keep_mask(probs.shape, rate)
+    probs = probs * keep
+    out = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[:],
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+    m_ref[0] = (keep > 0).astype(jnp.bfloat16)
+
+
+def _attn_dropout_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                 m_ref, dq_ref, dk_ref, dv_ref, *, scale,
+                                 rate):
+    dq, dk, dv = _dropout_bwd_math(q_ref[:], k_ref[:], v_ref[:], bias_ref[:],
+                                   g_ref[:], m_ref[0], scale, rate)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _nat_fwd_core(q, k, v, bias_b, seed_arr, scale, rate, bt):
+    """Natural-layout core: q/k/v [B,L,H,D], bias_b [B,1,Lk] ->
+    (out [B,Lq,H,D], mask [H,B,Lq,Lk])."""
+    TRACE_COUNT[0] += 1
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    return pl.pallas_call(
+        functools.partial(_attn_dropout_fwd_kernel_nat, scale=scale,
+                          rate=rate),
+        grid=(h, b // bt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                  _nat_blk(bt, lk, d), _bias_blk(bt, lk)],
+        out_specs=[_nat_blk(bt, lq, d), _mask_blk(bt, lq, lk)],
+        out_shape=[jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+                   jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(seed_arr, q, k, v, bias_b)
+
+
+def _nat_bwd_core(q, k, v, bias_b, g, mask, scale, rate, bt):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    return pl.pallas_call(
+        functools.partial(_attn_dropout_bwd_kernel_nat, scale=scale,
+                          rate=rate),
+        grid=(h, b // bt),
+        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                  _nat_blk(bt, lk, d), _bias_blk(bt, lk),
+                  _nat_blk(bt, lq, d), _mask_blk(bt, lq, lk)],
+        out_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                   _nat_blk(bt, lk, d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, h, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, h, d), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, bias_b, g, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pallas_dropout_attention_nat(q, k, v, bias, seed_arr, scale, rate, bt):
+    out, _ = _nat_fwd_core(q, k, v, _bias_bcast(bias, q.shape[0],
+                                                k.shape[1]),
+                           seed_arr, scale, rate, bt)
+    return out
+
+
+def _nat_fwd_rule(q, k, v, bias, seed_arr, scale, rate, bt):
+    out, mask = _nat_fwd_core(q, k, v, _bias_bcast(bias, q.shape[0],
+                                                   k.shape[1]),
+                              seed_arr, scale, rate, bt)
+    return out, (q, k, v, bias, mask)
+
+
+def _nat_bwd_rule(scale, rate, bt, res, g):
+    import numpy as _np
+
+    q, k, v, bias, mask = res
+    dq, dk, dv = _nat_bwd_core(q, k, v, _bias_bcast(bias, q.shape[0],
+                                                    k.shape[1]),
+                               g, mask, scale, rate, bt)
+    dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
+    return (dq, dk, dv, jnp.zeros_like(bias), dseed)
+
+
+_pallas_dropout_attention_nat.defvjp(_nat_fwd_rule, _nat_bwd_rule)
+
+
+def _attn_kernel_nat(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    probs = _probs_arr(q_ref[:], k_ref[:], bias_ref[:], scale)
+    out = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[:],
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                         dq_ref, dk_ref, dv_ref, db_ref, *, scale):
+    dq, dk, dv, db = _attn_bwd_math(q_ref[:], k_ref[:], v_ref[:],
+                                    bias_ref[:], g_ref[:], scale)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+    db_ref[0] = db.astype(jnp.float32)
+
+
+def _nat_eval_forward(q, k, v, bias, scale, bt):
+    TRACE_COUNT[0] += 1
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_nat, scale=scale),
+        grid=(h, b // bt),
+        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                  _nat_blk(bt, lk, d), _bias_blk(bt, lk)],
+        out_specs=_nat_blk(bt, lq, d),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk),
+        interpret=_interpret(),
+    )(q, k, v, _bias_bcast(bias, b, lk))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_fused_attention_nat(q, k, v, bias, scale):
+    """Natural-layout no-dropout attention: q/k/v and all cotangents stay
+    [B,L,H,D] (no layout ops around the kernels in either direction)."""
+    bt = _pick_tile(q.shape[0], 16, q.shape[1], k.shape[1], q.shape[3])
+    return _nat_eval_forward(q, k, v, bias, scale, bt)
+
+
+def _nat_eval_fwd_rule(q, k, v, bias, scale):
+    return pallas_fused_attention_nat(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _nat_eval_bwd_rule(scale, res, g):
+    q, k, v, bias = res
+    if not (kernels_enabled() and bias is not None and q.shape[1] >= 8):
+        return _attn_bwd(scale, res, g)
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    bt = _pick_tile(b, 16, lq, lk, d)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_nat, scale=scale),
+        grid=(h, b // bt),
+        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                  _nat_blk(bt, lk, d), _bias_blk(bt, lk),
+                  _nat_blk(bt, lq, d)],
+        out_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
+                   _nat_blk(bt, lk, d),
+                   pl.BlockSpec((1, bt, lk), lambda hi, bi: (hi, bi, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, h, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, h, d), v.dtype),
+            jax.ShapeDtypeStruct((h, b, lk), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, _bias_bcast(bias, b, lk), g)
+    dbias = jnp.sum(db, axis=0)[:, None, None, :]
+    return (dq, dk, dv, dbias.astype(bias.dtype))
+
+
+pallas_fused_attention_nat.defvjp(_nat_eval_fwd_rule, _nat_eval_bwd_rule)
+
+
 # ------------------------------------------------- hidden-mask piggyback
 def pallas_dropout_attention_hm(q, k, v, bias, scale, rate, hidden_rate,
                                 seed, batch_tile: int = 16):
@@ -441,30 +653,37 @@ def _attn_fwd(q, k, v, bias, scale):
     return _pallas_forward(q, k, v, bias, scale), (q, k, v, bias)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, db_ref, *, scale):
+def _attn_bwd_math(q, k, v, bias, g, scale):
     """No-dropout attention VJP entirely in VMEM: probs recomputed from
     q/k/bias, all four cotangents emitted (dbias as per-head partial sums,
     reduced over heads in XLA). Closes the measured ~13% penalty the XLA
     recompute backward paid on dropout-free training configs."""
-    probs = _probs(q_ref, k_ref, bias_ref, scale)
-    g = g_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    probs = _probs_arr(q, k, bias, scale)
+    g = g.astype(jnp.float32)
+    v = v.astype(jnp.float32)
     dv = jax.lax.dot_general(probs, g, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    k = k_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    q = q.astype(jnp.float32)
     dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
+    db = jnp.sum(ds, axis=1)
+    return dq, dk, dv, db
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref, *, scale):
+    dq, dk, dv, db = _attn_bwd_math(q_ref[0], k_ref[0], v_ref[0],
+                                    bias_ref[:], g_ref[0], scale)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
-    db_ref[0] = jnp.sum(ds, axis=1).astype(jnp.float32)
+    db_ref[0] = db.astype(jnp.float32)
 
 
 def _attn_bwd_pallas(q, k, v, bias, g, scale):
