@@ -70,6 +70,7 @@ def _small_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_vcr_store_step_matches_dense(tmp_path):
     tmp = tmp_path
     meta_dir = tmp / "vcr1images"
@@ -113,6 +114,7 @@ def test_vcr_store_step_matches_dense(tmp_path):
     _run_pair(cfg, task_cfg, dense, small, ds.device_store_arrays())
 
 
+@pytest.mark.slow
 def test_nlvr2_store_step_matches_dense(tmp_path):
     tmp = str(tmp_path)
     _, ids = fixtures.make_nlvr2_annotations(tmp, n=6)

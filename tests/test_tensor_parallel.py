@@ -73,6 +73,7 @@ def test_tp_matches_dp_numerics():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 CPU devices")
+@pytest.mark.slow
 def test_tp_actually_shards_big_params():
     """The embedding table / FFN kernels must carry a 'model' dimension in
     their sharding, not silently replicate."""

@@ -109,14 +109,64 @@ def main():
     # checked inside a single value_and_grad program. out is linear in v
     # (out = Pd @ v), hence sum(out) == <dL/dv, v> exactly when the backward
     # uses the forward's mask.
-    def f(vv):
-        return jnp.sum(pa.pallas_dropout_attention(
-            q, k, vv, bias, scale, rate, 123))
+    # Drive the fwd/bwd cores directly in ONE jitted program and compare
+    # both against XLA recomputes that consume the kernel's own saved keep
+    # mask — elementwise, so layout mixups and regenerated-mask bugs (the
+    # Mosaic PRNG trap) cannot hide behind the global-sum cancellation of
+    # the old sum(out) == <dL/dv, v> identity. The two sides do NOT share
+    # MXU roundings (Mosaic dots + VPU exp vs XLA einsum + exp on fp32
+    # inputs take different bf16-pass truncations), leaving a measured
+    # ~1e-2 elementwise noise floor. So the check is self-calibrating: a
+    # NEGATIVE CONTROL recomputes the references with the mask rolled by
+    # one key position, and the kernel-vs-reference deviation must be an
+    # order of magnitude below the wrong-mask deviation (plus an absolute
+    # 0.05 cap). Any real mask inconsistency is in the wrong-mask regime.
+    seed_arr = jnp.asarray(123, jnp.int32).reshape(1)
+    keep_scale = 1.0 / (1.0 - rate)
 
-    val, g_v = jax.jit(jax.value_and_grad(f))(v)
-    lhs, rhs = float(val), float(jnp.sum(g_v * v))
-    np.testing.assert_allclose(lhs, rhs, rtol=2e-3)
-    print(f"dropout VJP mask-consistency OK ({lhs:.4f} vs {rhs:.4f})")
+    def _mask_checks(name, out_k, out_r, out_w, dv_k, dv_r, dv_w):
+        dev_o = float(np.abs(out_k - out_r).max())
+        dev_ow = float(np.abs(out_k - out_w).max())
+        dev_v = float(np.abs(dv_k - dv_r).max())
+        dev_vw = float(np.abs(dv_k - dv_w).max())
+        assert dev_o < 0.05 and dev_o < dev_ow / 10, (dev_o, dev_ow)
+        assert dev_v < 0.05 and dev_v < dev_vw / 10, (dev_v, dev_vw)
+        print(f"{name} mask-consistency OK (fwd dev {dev_o:.2e} "
+              f"[ctrl {dev_ow:.2e}], dv dev {dev_v:.2e} [ctrl {dev_vw:.2e}])")
+
+    def _hm(x):
+        return jnp.transpose(x, (2, 0, 1, 3))
+
+    @jax.jit
+    def probe_hm():
+        bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
+                                  (B, 1, 1, Lk)).reshape(B, 1, Lk)
+        out, mask = pa._dropout_fwd_core(_hm(q), _hm(k), _hm(v), bias_b,
+                                         seed_arr, scale, rate, 16)
+        # XLA recompute from the kernel's saved mask ([H,B,Lq,Lk])
+        probs = jax.nn.softmax(jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale + bias.astype(jnp.float32))
+        g = jnp.ones((B, Lq, H, D), q.dtype)
+        dq, dk, dv = pa._dropout_bwd_core(_hm(q), _hm(k), _hm(v), bias_b,
+                                          _hm(g), mask, scale, rate, 16)
+
+        def refs(m):
+            pd = probs * jnp.transpose(m, (1, 0, 2, 3)).astype(jnp.float32) \
+                * keep_scale
+            out_ref = jnp.einsum("bhqk,bkhd->bqhd", pd.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+            dv_ref = jnp.einsum("bhqk,bqhd->bkhd", pd.astype(g.dtype), g,
+                                preferred_element_type=jnp.float32)
+            return out_ref, dv_ref
+
+        out_ref, dv_ref = refs(mask)
+        out_wrong, dv_wrong = refs(jnp.roll(mask, 1, axis=-1))
+        back = lambda x: jnp.transpose(x, (1, 2, 0, 3))
+        return (back(out), out_ref, out_wrong, back(dv), dv_ref, dv_wrong)
+
+    _mask_checks("dropout VJP",
+                 *(np.asarray(x) for x in probe_hm()))
 
     # rate=0 -> the whole fwd+bwd must match plain attention exactly
     f0 = jax.jit(lambda vv: pa.pallas_dropout_attention(
@@ -159,14 +209,37 @@ def main():
     err = np.abs(acc / n - ref).max()
     assert err < 0.5, err
 
-    def fnat(vv):
-        return jnp.sum(pa.pallas_dropout_attention(
-            q, k, vv, bias, scale, rate, 123, natural=True))
+    # fwd/bwd mask consistency via the cores + the kernel's own saved mask
+    # (same construction as the head-major check above; nat mask layout is
+    # [B,H,Lq,Lk])
+    @jax.jit
+    def probe_nat():
+        bias_b = jnp.broadcast_to(bias.astype(jnp.float32),
+                                  (B, 1, 1, Lk)).reshape(B, 1, Lk)
+        out, mask = pa._nat_fwd_core(q, k, v, bias_b, seed_arr, scale,
+                                     rate, 16)
+        probs = jax.nn.softmax(jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale + bias.astype(jnp.float32))
+        g = jnp.ones((B, Lq, H, D), q.dtype)
+        dq, dk, dv = pa._nat_bwd_core(q, k, v, bias_b, g, mask, scale,
+                                      rate, 16)
 
-    val, g_v = jax.jit(jax.value_and_grad(fnat))(v)
-    np.testing.assert_allclose(float(val), float(jnp.sum(g_v * v)),
-                               rtol=2e-3)
-    print(f"natural-layout kernels OK (E[out] err {err:.3f})")
+        def refs(m):
+            pd = probs * m.astype(jnp.float32) * keep_scale
+            out_ref = jnp.einsum("bhqk,bkhd->bqhd", pd.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+            dv_ref = jnp.einsum("bhqk,bqhd->bkhd", pd.astype(g.dtype), g,
+                                preferred_element_type=jnp.float32)
+            return out_ref, dv_ref
+
+        out_ref, dv_ref = refs(mask)
+        out_wrong, dv_wrong = refs(jnp.roll(mask, 1, axis=-1))
+        return out, out_ref, out_wrong, dv, dv_ref, dv_wrong
+
+    print(f"natural-layout dropout E[out] err {err:.3f}")
+    _mask_checks("natural-layout kernels",
+                 *(np.asarray(x) for x in probe_nat()))
 
     # 4. pallas layernorm fwd/bwd parity on hardware
     x = jnp.asarray(rng.randn(512, 768).astype(np.float32))

@@ -136,15 +136,19 @@ class VoltaConfig:
     # 91.4 ms Pallas mask kernel (which stays available via
     # use_pallas_dropout_mask as the draw-replay-safe alternative).
     use_hash_dropout: bool = True
-    # Natural-layout attention kernels: block the [B,L,H,D] q/k/v arrays
-    # directly (head dim squeezed into the Pallas grid) instead of
-    # transposing to the head-major [H,B,L,D] layout. The head-major path
-    # costs an XLA layout copy per q/k/v/g/context at every attention site —
-    # ~13 ms/step (15%) at the b256 headline shapes, measured from the
-    # round-3 profile trace (tools/analyze_trace.py). The strided per-head
-    # DMA the natural kernels pay instead is far cheaper than those HBM
-    # round trips.
-    attn_natural_layout: bool = False
+    # Natural-layout attention kernels: block the q/k/v arrays in their
+    # native [B, L, H*D] projection-output layout (batch-only grid) and
+    # carve the per-head [bt, L, D] tiles as in-VMEM lane slices, instead
+    # of transposing to the head-major [H,B,L,D] layout. The head-major
+    # path costs an XLA layout copy per q/k/v/g/context at every attention
+    # site — ~13 ms/step (15%) at the b256 headline shapes, measured from
+    # the round-3 profile trace (tools/analyze_trace.py). The odd-head lane
+    # rotates the natural kernels pay instead stay in VMEM and replace
+    # those HBM round trips. Hardware A/B (b256 VQA full step, 30 iters):
+    # 77.15 ms vs 84.71 ms head-major → 3318 vs 3022 pairs/s (+9.8%), so
+    # DEFAULT ON. Mask-consistency + negative-control validation in
+    # tools/validate_tpu.py (logs/hw_validate_r3b.log).
+    attn_natural_layout: bool = True
 
     _KNOWN = None  # populated below
 

@@ -359,81 +359,148 @@ _dropout_attention_hm_layout.defvjp(_hm_layout_fwd, _hm_layout_bwd)
 # every attention site — ~13 ms/step (15%) total, per tools/analyze_trace.py
 # on the round-3 trace. (tools/microbench_attn_layout.py had called the
 # transposes free, but it reused one q/k/v for all 12 sites, so XLA CSE'd
-# the transpose once — a 12x under-count.) These variants block the natural
-# [B,L,H,D] arrays directly, squeezing the head dim into the grid: the QKV
-# projection outputs bitcast straight into the kernel and the cotangents
-# bitcast straight out — zero layout ops in either direction. The per-block
-# DMA is strided (128-byte chunks every H*D elements), which the saved HBM
-# round trips more than pay for; the saved keep-mask stays head-major
-# (kernel-internal, contiguous both ways).
+# the transpose once — a 12x under-count.)
+#
+# Mosaic forbids the obvious fix — blocking [B,L,H,D] with the head dim
+# squeezed into the grid — because a squeezed (size-1) block in the
+# second-to-minor position violates the (8,128) block-tiling rule whenever
+# D < 128. So these variants never put H next to the minor dim at all: the
+# [B,L,H,D] operands are viewed as 3-D [B, L, H*D] (a free bitcast — exactly
+# the dense-projection output layout), blocked (bt, L, H*D) over a batch-only
+# grid, and the per-head [bt, L, D] tiles are carved out *inside* the kernel
+# as static lane slices of the loaded block. Odd-head slices cost a VPU lane
+# rotate in VMEM; that replaces an HBM round trip per operand per site. The
+# per-head outputs are concatenated back to [bt, L, H*D] and stored once, so
+# QKV projection outputs feed the kernel with zero layout ops in either
+# direction, and the cotangents leave the same way. The saved keep-mask is
+# [B, H, Lq, Lk] (kernel-internal format, contiguous both ways).
 
-def _nat_blk(bt, l, d):
-    return pl.BlockSpec((bt, l, None, d), lambda hi, bi: (bi, 0, hi, 0),
+def _nat3_blk(bt, l, hd):
+    return pl.BlockSpec((bt, l, hd), lambda bi: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
+def _nat_mask_blk(bt, h, lq, lk):
+    return pl.BlockSpec((bt, h, lq, lk), lambda bi: (bi, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _nat_bias_blk(bt, lk):
+    return pl.BlockSpec((bt, 1, lk), lambda bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
+    """Largest divisor tile of b <= batch_tile whose VMEM working set —
+    whole [bt, L, H*D] blocks for every operand plus the [bt, H, Lq, Lk]
+    mask and the per-head float32 temporaries — stays <= ~5MB estimated.
+    Mosaic's actual scoped stack for the unrolled per-head loop measures
+    ~3x this estimate (21.48M scoped at the 7.2M-estimated bt=8 point on
+    the b256 L60 backward, vs the 16M scoped-vmem limit), so the budget
+    is 5MB to land the real stack comfortably under the limit."""
+    def vmem_bytes(bt):
+        io = bt * (3 * lq + 4 * lk) * hd * 2          # bf16 q/g/dq + k/v/dk/dv
+        mask = bt * h * lq * lk * 2                   # bf16 keep mask
+        tmp = bt * (4 * lq * lk * 4 + (3 * lq + 4 * lk) * (hd // h) * 4)
+        return io + mask + tmp + extra_per_bt * bt
+
+    bt = min(batch_tile, b)
+    while bt > 1 and (b % bt or vmem_bytes(bt) > 5 * 2**20):
+        bt //= 2
+    while b % bt:
+        bt -= 1
+    return max(bt, 1)
+
+
 def _attn_dropout_fwd_kernel_nat(seed_ref, q_ref, k_ref, v_ref, bias_ref,
-                                 o_ref, m_ref, *, scale, rate):
-    pltpu.prng_seed(_mix_seed(seed_ref))
-    probs = _probs_arr(q_ref[:], k_ref[:], bias_ref[:], scale)
-    keep = _keep_mask(probs.shape, rate)
-    probs = probs * keep
-    out = jax.lax.dot_general(
-        probs.astype(v_ref.dtype), v_ref[:],
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    o_ref[:] = out.astype(o_ref.dtype)
-    m_ref[0] = (keep > 0).astype(jnp.bfloat16)
+                                 o_ref, m_ref, *, scale, rate, heads):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 104729)
+    bias = bias_ref[:].astype(jnp.float32)
+    q3, k3, v3 = q_ref[:], k_ref[:], v_ref[:]
+    d = q3.shape[-1] // heads
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        probs = _probs_arr(q3[..., sl], k3[..., sl], bias, scale)
+        keep = _keep_mask(probs.shape, rate)
+        probs = probs * keep
+        out = jax.lax.dot_general(
+            probs.astype(v3.dtype), v3[..., sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(out.astype(o_ref.dtype))
+        m_ref[:, hh] = (keep > 0).astype(jnp.bfloat16)
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
 def _attn_dropout_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                  m_ref, dq_ref, dk_ref, dv_ref, *, scale,
-                                 rate):
-    dq, dk, dv = _dropout_bwd_math(q_ref[:], k_ref[:], v_ref[:], bias_ref[:],
-                                   g_ref[:], m_ref[0], scale, rate)
-    dq_ref[:] = dq.astype(dq_ref.dtype)
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+                                 rate, heads):
+    bias = bias_ref[:].astype(jnp.float32)
+    q3, k3, v3, g3 = q_ref[:], k_ref[:], v_ref[:], g_ref[:]
+    d = q3.shape[-1] // heads
+    dqs, dks, dvs = [], [], []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        dq, dk, dv = _dropout_bwd_math(q3[..., sl], k3[..., sl], v3[..., sl],
+                                       bias, g3[..., sl], m_ref[:, hh],
+                                       scale, rate)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
 
 
 def _nat_fwd_core(q, k, v, bias_b, seed_arr, scale, rate, bt):
     """Natural-layout core: q/k/v [B,L,H,D], bias_b [B,1,Lk] ->
-    (out [B,Lq,H,D], mask [H,B,Lq,Lk])."""
+    (out [B,Lq,H,D], mask [B,H,Lq,Lk])."""
     TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    return pl.pallas_call(
+    hd = h * d
+    bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
+    out, mask = pl.pallas_call(
         functools.partial(_attn_dropout_fwd_kernel_nat, scale=scale,
-                          rate=rate),
-        grid=(h, b // bt),
+                          rate=rate, heads=h),
+        grid=(b // bt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                  _nat_blk(bt, lk, d), _bias_blk(bt, lk)],
-        out_specs=[_nat_blk(bt, lq, d), _mask_blk(bt, lq, lk)],
-        out_shape=[jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
-                   jax.ShapeDtypeStruct((h, b, lq, lk), jnp.bfloat16)],
+                  _nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                  _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk)],
+        out_specs=[_nat3_blk(bt, lq, hd), _nat_mask_blk(bt, h, lq, lk)],
+        out_shape=[jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lq, lk), jnp.bfloat16)],
         interpret=_interpret(),
-    )(seed_arr, q, k, v, bias_b)
+    )(seed_arr, q.reshape(b, lq, hd), k.reshape(b, lk, hd),
+      v.reshape(b, lk, hd), bias_b)
+    return out.reshape(b, lq, h, d), mask
 
 
 def _nat_bwd_core(q, k, v, bias_b, g, mask, scale, rate, bt):
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    return pl.pallas_call(
+    hd = h * d
+    bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_dropout_bwd_kernel_nat, scale=scale,
-                          rate=rate),
-        grid=(h, b // bt),
-        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                  _nat_blk(bt, lk, d), _bias_blk(bt, lk),
-                  _nat_blk(bt, lq, d), _mask_blk(bt, lq, lk)],
-        out_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                   _nat_blk(bt, lk, d)],
+                          rate=rate, heads=h),
+        grid=(b // bt,),
+        in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                  _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk),
+                  _nat3_blk(bt, lq, hd), _nat_mask_blk(bt, h, lq, lk)],
+        out_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                   _nat3_blk(bt, lk, hd)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b, lk, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, lk, h, d), v.dtype),
+            jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, hd), v.dtype),
         ],
         interpret=_interpret(),
-    )(q, k, v, bias_b, g, mask)
+    )(q.reshape(b, lq, hd), k.reshape(b, lk, hd), v.reshape(b, lk, hd),
+      bias_b, g.reshape(b, lq, hd), mask)
+    return (dq.reshape(b, lq, h, d), dk.reshape(b, lk, h, d),
+            dv.reshape(b, lk, h, d))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -465,42 +532,66 @@ def _nat_bwd_rule(scale, rate, bt, res, g):
 _pallas_dropout_attention_nat.defvjp(_nat_fwd_rule, _nat_bwd_rule)
 
 
-def _attn_kernel_nat(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    probs = _probs_arr(q_ref[:], k_ref[:], bias_ref[:], scale)
-    out = jax.lax.dot_general(
-        probs.astype(v_ref.dtype), v_ref[:],
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    o_ref[:] = out.astype(o_ref.dtype)
+def _attn_kernel_nat(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, heads):
+    bias = bias_ref[:].astype(jnp.float32)
+    q3, k3, v3 = q_ref[:], k_ref[:], v_ref[:]
+    d = q3.shape[-1] // heads
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        probs = _probs_arr(q3[..., sl], k3[..., sl], bias, scale)
+        out = jax.lax.dot_general(
+            probs.astype(v3.dtype), v3[..., sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(out.astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
 def _attn_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
-                         dq_ref, dk_ref, dv_ref, db_ref, *, scale):
-    dq, dk, dv, db = _attn_bwd_math(q_ref[:], k_ref[:], v_ref[:],
-                                    bias_ref[:], g_ref[:], scale)
-    dq_ref[:] = dq.astype(dq_ref.dtype)
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
-    db_ref[0] = db.astype(jnp.float32)
+                         dq_ref, dk_ref, dv_ref, db_ref, *, scale, heads):
+    bias = bias_ref[:].astype(jnp.float32)
+    q3, k3, v3, g3 = q_ref[:], k_ref[:], v_ref[:], g_ref[:]
+    d = q3.shape[-1] // heads
+    dqs, dks, dvs = [], [], []
+    db_acc = None
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        dq, dk, dv, db = _attn_bwd_math(q3[..., sl], k3[..., sl],
+                                        v3[..., sl], bias, g3[..., sl],
+                                        scale)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        db_acc = db if db_acc is None else db_acc + db
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
+    db_ref[:] = db_acc.astype(jnp.float32)
 
 
 def _nat_eval_forward(q, k, v, bias, scale, bt):
     TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_nat, scale=scale),
-        grid=(h, b // bt),
-        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                  _nat_blk(bt, lk, d), _bias_blk(bt, lk)],
-        out_specs=_nat_blk(bt, lq, d),
-        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+    hd = h * d
+    bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_nat, scale=scale, heads=h),
+        grid=(b // bt,),
+        in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                  _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk)],
+        out_specs=_nat3_blk(bt, lq, hd),
+        out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq * lk * d,
             bytes_accessed=(q.size + k.size + v.size + q.size)
             * q.dtype.itemsize,
             transcendentals=b * h * lq * lk),
         interpret=_interpret(),
-    )(q, k, v, _bias_bcast(bias, b, lk))
+    )(q.reshape(b, lq, hd), k.reshape(b, lk, hd), v.reshape(b, lk, hd),
+      _bias_bcast(bias, b, lk))
+    return out.reshape(b, lq, h, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -521,27 +612,30 @@ def _nat_eval_bwd_rule(scale, res, g):
         return _attn_bwd(scale, res, g)
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    bt = _pick_tile(b, 16, lq, lk, d)
+    hd = h * d
+    bt = _pick_tile_nat(b, 16, lq, lk, hd, h)
     dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_nat, scale=scale),
-        grid=(h, b // bt),
-        in_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                  _nat_blk(bt, lk, d), _bias_blk(bt, lk),
-                  _nat_blk(bt, lq, d)],
-        out_specs=[_nat_blk(bt, lq, d), _nat_blk(bt, lk, d),
-                   _nat_blk(bt, lk, d),
-                   pl.BlockSpec((1, bt, lk), lambda hi, bi: (hi, bi, 0),
+        functools.partial(_attn_bwd_kernel_nat, scale=scale, heads=h),
+        grid=(b // bt,),
+        in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                  _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk),
+                  _nat3_blk(bt, lq, hd)],
+        out_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
+                   _nat3_blk(bt, lk, hd),
+                   pl.BlockSpec((bt, lk), lambda bi: (bi, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b, lk, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, lk, h, d), v.dtype),
-            jax.ShapeDtypeStruct((h, b, lk), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, hd), v.dtype),
+            jax.ShapeDtypeStruct((b, lk), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v, _bias_bcast(bias, b, lk), g)
-    dbias = jnp.sum(db, axis=0)[:, None, None, :]
-    return (dq, dk, dv, dbias.astype(bias.dtype))
+    )(q.reshape(b, lq, hd), k.reshape(b, lk, hd), v.reshape(b, lk, hd),
+      _bias_bcast(bias, b, lk), g.reshape(b, lq, hd))
+    dbias = db[:, None, None, :]
+    return (dq.reshape(b, lq, h, d), dk.reshape(b, lk, h, d),
+            dv.reshape(b, lk, h, d), dbias.astype(bias.dtype))
 
 
 pallas_fused_attention_nat.defvjp(_nat_eval_fwd_rule, _nat_eval_bwd_rule)
