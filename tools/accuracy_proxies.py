@@ -158,7 +158,16 @@ def qa_proxy(model_name, n_questions=240, n_labels=8, epochs=150,
     else:
         raise KeyError(model_name)
     cfg_path = write_cfg(tmp, cfg)
-    ids = list(range(100, 112))
+    # 5 images, coprime with n_labels=8: questions cycle image (i%5) and
+    # label (i%8) independently, so the image alone carries ~no label
+    # information and the model must use the question text from step one.
+    # The old 12-image layout let the image pin the answer to a 2-way
+    # choice (12 and 8 share factor 4) — a 50%-accuracy shortcut basin
+    # whose escape within the epoch budget was a coin-flip over dropout
+    # noise realizations (measured: the SAME int-threshold dropout scored
+    # 1.0 / 0.86 / 0.50 across three shifted key streams), which made the
+    # proxy flag healthy RNG changes as regressions.
+    ids = list(range(100, 105))
     feat = features_lmdb(tmp, ids)
     rng = np.random.RandomState(7)
 
