@@ -113,6 +113,15 @@ def main():
             # A/B: natural-layout [B,L,H,D] attention kernels (no head-major
             # transposes -> no XLA layout copies around the kernels)
             cfg.attn_natural_layout = True
+        elif variant == "natbh":
+            # A/B: nat kernels with ONE bt*H-batched dot_general per matmul
+            # (in-VMEM head marshalling) vs the unrolled per-head loop
+            from volta_tpu.ops import pallas_attention as _pa
+            _pa.NAT_BATCHED_HEADS[0] = True
+        elif variant == "natloop":
+            # A/B: back to the unrolled per-head nat kernel bodies
+            from volta_tpu.ops import pallas_attention as _pa
+            _pa.NAT_BATCHED_HEADS[0] = False
         elif variant == "fused_resln":
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base

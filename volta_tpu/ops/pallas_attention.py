@@ -391,21 +391,27 @@ def _nat_bias_blk(bt, lk):
 
 
 def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
-    """Largest divisor tile of b <= batch_tile whose VMEM working set —
-    whole [bt, L, H*D] blocks for every operand plus the [bt, H, Lq, Lk]
-    mask and the per-head float32 temporaries — stays <= ~5MB estimated.
-    Mosaic's actual scoped stack for the unrolled per-head loop measures
-    ~3x this estimate (21.48M scoped at the 7.2M-estimated bt=8 point on
-    the b256 L60 backward, vs the 16M scoped-vmem limit), so the budget
-    is 5MB to land the real stack comfortably under the limit."""
+    """Largest divisor tile of b <= batch_tile whose estimated backward
+    VMEM working set stays <= 15MB of the 16MB scoped limit.
+
+    The estimate itemises what the batched-head backward actually holds
+    at peak: the double-buffered HBM block refs, the marshalled [H*bt]
+    bf16 operand copies, the float32 casts of q/k/v/g inside the VJP
+    math, five score-shaped float32 temporaries (probs, scaled mask, pd,
+    dp, ds), and the bf16 keep mask. Calibration against Mosaic's
+    reported scoped stack: L=60 bt=4 est 14.5M fits (the measured 71.75ms
+    headline point); L=37 bt=8 est 16.1M vs real 17.62M OOM -> bt=4;
+    L=23 bt=16 real 16.86M OOM -> est picks bt=8."""
     def vmem_bytes(bt):
-        io = bt * (3 * lq + 4 * lk) * hd * 2          # bf16 q/g/dq + k/v/dk/dv
-        mask = bt * h * lq * lk * 2                   # bf16 keep mask
-        tmp = bt * (4 * lq * lk * 4 + (3 * lq + 4 * lk) * (hd // h) * 4)
-        return io + mask + tmp + extra_per_bt * bt
+        io = bt * (3 * lq + 4 * lk) * hd * 2      # bf16 q/g/dq + k/v/dk/dv
+        copies = io                               # marshalled bh operands
+        casts = bt * 2 * (lq + lk) * hd * 4       # f32 casts in bwd math
+        scores = 5 * bt * h * lq * lk * 4         # probs/mask/pd/dp/ds f32
+        mask = bt * h * lq * lk * 2               # bf16 keep mask
+        return 2 * io + copies + casts + scores + mask + extra_per_bt * bt
 
     bt = min(batch_tile, b)
-    while bt > 1 and (b % bt or vmem_bytes(bt) > 5 * 2**20):
+    while bt > 1 and (b % bt or vmem_bytes(bt) > 15 * 2**20):
         bt //= 2
     while b % bt:
         bt -= 1
@@ -453,6 +459,86 @@ def _attn_dropout_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
     dv_ref[:] = jnp.concatenate(dvs, axis=-1)
 
 
+# Batched-head kernel bodies (DEFAULT): compute all heads with ONE
+# bt*H-batched dot_general per matmul instead of the unrolled per-head
+# loop — the per-head [L, D] tiles underfill the MXU at small L, and the
+# single big softmax/mask pass vectorises better on the VPU. The in-VMEM
+# marshalling is per-head lane slices (the same rotate the unrolled loop
+# pays) stacked along a new MAJOR axis (Mosaic rejects the direct
+# [bt,L,H,D] lane-split shape cast, and int-indexing arrays lowers to an
+# unsupported gather — use lax.slice_in_dim/index_in_dim). Hardware A/B on
+# the b256 VQA step: 71.75 ms vs 77.15 unrolled (+7.5%) -> 3,568 pairs/s
+# (logs/hw_natbh_ab4.log). The unrolled bodies stay for A/B via
+# tools/perf_probe.py --variants natloop.
+NAT_BATCHED_HEADS = [True]
+
+
+def _to_bh(x3, heads):
+    """[bt, L, H*D] -> [H*bt, L, D] in VMEM: per-head lane slices (the same
+    rotate the unrolled loop pays) stacked along a new MAJOR axis — Mosaic
+    rejects the direct [bt,L,H,D] lane-split shape cast, major stacking it
+    accepts."""
+    bt, l, hd = x3.shape
+    d = hd // heads
+    return jnp.concatenate(
+        [jnp.expand_dims(jax.lax.slice_in_dim(x3, hh * d, (hh + 1) * d, 1,
+                                              axis=2), 0)
+         for hh in range(heads)], axis=0).reshape(heads * bt, l, d)
+
+
+def _from_bh(x3, bt, heads):
+    """[H*bt, L, D] -> [bt, L, H*D] (major split + per-head lane concat)."""
+    _, l, d = x3.shape
+    x4 = x3.reshape(heads, bt, l, d)
+    return jnp.concatenate(
+        [jax.lax.index_in_dim(x4, hh, 0, keepdims=False)
+         for hh in range(heads)], axis=-1)
+
+
+def _bh_bias(bias3, bt, heads, lk):
+    return jnp.broadcast_to(bias3[None], (heads, bt, 1, lk)).reshape(
+        heads * bt, 1, lk)
+
+
+def _attn_dropout_fwd_kernel_nat_bh(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                                    o_ref, m_ref, *, scale, rate, heads):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 104729)
+    bt, lk = q_ref.shape[0], k_ref.shape[1]
+    qb = _to_bh(q_ref[:], heads)
+    kb = _to_bh(k_ref[:], heads)
+    vb = _to_bh(v_ref[:], heads)
+    probs = _probs_arr(qb, kb, _bh_bias(bias_ref[:], bt, heads, lk), scale)
+    keep = _keep_mask(probs.shape, rate)
+    probs = probs * keep
+    out = jax.lax.dot_general(
+        probs.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = _from_bh(out, bt, heads).astype(o_ref.dtype)
+    keep4 = (keep > 0).astype(jnp.bfloat16).reshape(
+        (heads, bt) + keep.shape[1:])
+    for hh in range(heads):
+        m_ref[:, hh] = jax.lax.index_in_dim(keep4, hh, 0, keepdims=False)
+
+
+def _attn_dropout_bwd_kernel_nat_bh(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                    m_ref, dq_ref, dk_ref, dv_ref, *, scale,
+                                    rate, heads):
+    bt, lk = q_ref.shape[0], k_ref.shape[1]
+    qb = _to_bh(q_ref[:], heads)
+    kb = _to_bh(k_ref[:], heads)
+    vb = _to_bh(v_ref[:], heads)
+    gb = _to_bh(g_ref[:], heads)
+    mask = jnp.concatenate(
+        [jnp.expand_dims(m_ref[:, hh], 0) for hh in range(heads)],
+        axis=0).reshape((heads * bt,) + m_ref.shape[2:])
+    dq, dk, dv = _dropout_bwd_math(
+        qb, kb, vb, _bh_bias(bias_ref[:], bt, heads, lk), gb, mask,
+        scale, rate)
+    dq_ref[:] = _from_bh(dq, bt, heads).astype(dq_ref.dtype)
+    dk_ref[:] = _from_bh(dk, bt, heads).astype(dk_ref.dtype)
+    dv_ref[:] = _from_bh(dv, bt, heads).astype(dv_ref.dtype)
+
+
 def _nat_fwd_core(q, k, v, bias_b, seed_arr, scale, rate, bt):
     """Natural-layout core: q/k/v [B,L,H,D], bias_b [B,1,Lk] ->
     (out [B,Lq,H,D], mask [B,H,Lq,Lk])."""
@@ -462,7 +548,9 @@ def _nat_fwd_core(q, k, v, bias_b, seed_arr, scale, rate, bt):
     hd = h * d
     bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
     out, mask = pl.pallas_call(
-        functools.partial(_attn_dropout_fwd_kernel_nat, scale=scale,
+        functools.partial(_attn_dropout_fwd_kernel_nat_bh
+                          if NAT_BATCHED_HEADS[0]
+                          else _attn_dropout_fwd_kernel_nat, scale=scale,
                           rate=rate, heads=h),
         grid=(b // bt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -483,7 +571,9 @@ def _nat_bwd_core(q, k, v, bias_b, g, mask, scale, rate, bt):
     hd = h * d
     bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_dropout_bwd_kernel_nat, scale=scale,
+        functools.partial(_attn_dropout_bwd_kernel_nat_bh
+                          if NAT_BATCHED_HEADS[0]
+                          else _attn_dropout_bwd_kernel_nat, scale=scale,
                           rate=rate, heads=h),
         grid=(b // bt,),
         in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
@@ -570,6 +660,42 @@ def _attn_bwd_kernel_nat(q_ref, k_ref, v_ref, bias_ref, g_ref,
     db_ref[:] = db_acc.astype(jnp.float32)
 
 
+def _attn_kernel_nat_bh(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
+                        heads):
+    bt, lk = q_ref.shape[0], k_ref.shape[1]
+    qb = _to_bh(q_ref[:], heads)
+    kb = _to_bh(k_ref[:], heads)
+    vb = _to_bh(v_ref[:], heads)
+    probs = _probs_arr(qb, kb, _bh_bias(bias_ref[:], bt, heads, lk), scale)
+    out = jax.lax.dot_general(
+        probs.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = _from_bh(out, bt, heads).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_nat_bh(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, db_ref, *, scale,
+                            heads):
+    bt, lk = q_ref.shape[0], k_ref.shape[1]
+    qb = _to_bh(q_ref[:], heads)
+    kb = _to_bh(k_ref[:], heads)
+    vb = _to_bh(v_ref[:], heads)
+    gb = _to_bh(g_ref[:], heads)
+    dq, dk, dv, db = _attn_bwd_math(
+        qb, kb, vb, _bh_bias(bias_ref[:], bt, heads, lk), gb, scale)
+    dq_ref[:] = _from_bh(dq, bt, heads).astype(dq_ref.dtype)
+    dk_ref[:] = _from_bh(dk, bt, heads).astype(dk_ref.dtype)
+    dv_ref[:] = _from_bh(dv, bt, heads).astype(dv_ref.dtype)
+    # sum db over heads via row slices: reducing over the major axis of a
+    # reshaped [heads, bt, lk] hits a Mosaic relayout bug (invalid
+    # replicated-dim relayout on the reduce), slice+add lowers cleanly
+    acc = jax.lax.slice_in_dim(db, 0, bt, 1, axis=0)
+    for hh in range(1, heads):
+        acc = acc + jax.lax.slice_in_dim(db, hh * bt, (hh + 1) * bt, 1,
+                                         axis=0)
+    db_ref[:] = acc.astype(jnp.float32)
+
+
 def _nat_eval_forward(q, k, v, bias, scale, bt):
     TRACE_COUNT[0] += 1
     b, lq, h, d = q.shape
@@ -577,7 +703,8 @@ def _nat_eval_forward(q, k, v, bias, scale, bt):
     hd = h * d
     bt = _pick_tile_nat(b, bt, lq, lk, hd, h)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_nat, scale=scale, heads=h),
+        functools.partial(_attn_kernel_nat_bh if NAT_BATCHED_HEADS[0]
+                          else _attn_kernel_nat, scale=scale, heads=h),
         grid=(b // bt,),
         in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
                   _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk)],
@@ -615,7 +742,8 @@ def _nat_eval_bwd_rule(scale, res, g):
     hd = h * d
     bt = _pick_tile_nat(b, 16, lq, lk, hd, h)
     dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_nat, scale=scale, heads=h),
+        functools.partial(_attn_bwd_kernel_nat_bh if NAT_BATCHED_HEADS[0]
+                          else _attn_bwd_kernel_nat, scale=scale, heads=h),
         grid=(b // bt,),
         in_specs=[_nat3_blk(bt, lq, hd), _nat3_blk(bt, lk, hd),
                   _nat3_blk(bt, lk, hd), _nat_bias_blk(bt, lk),
