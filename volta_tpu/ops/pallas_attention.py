@@ -392,16 +392,19 @@ def _nat_bias_blk(bt, lk):
 
 def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
     """Largest divisor tile of b <= batch_tile whose estimated backward
-    VMEM working set stays <= 15MB of the 16MB scoped limit.
+    VMEM working set stays <= 13MB of the 16MB scoped limit.
 
     The estimate itemises what the batched-head backward actually holds
     at peak: the double-buffered HBM block refs, the marshalled [H*bt]
     bf16 operand copies, the float32 casts of q/k/v/g inside the VJP
     math, five score-shaped float32 temporaries (probs, scaled mask, pd,
     dp, ds), and the bf16 keep mask. Calibration against Mosaic's
-    reported scoped stack: L=60 bt=4 est 14.5M fits (the measured 71.75ms
-    headline point); L=37 bt=8 est 16.1M vs real 17.62M OOM -> bt=4;
-    L=23 bt=16 real 16.86M OOM -> est picks bt=8."""
+    reported scoped stack: L=37 bt=8 est 16.1M vs real 17.62M OOM; L=23
+    bt=16 real 16.86M OOM; L=60 bt=4 est 14.5M compiled at b256 but the
+    SAME block shapes hit 16.14M (OOM by 148K) in the b512 program —
+    razor-edge tiles flip with XLA fusion layout, hence the 13MB budget.
+    The resulting bt=2 at the L=60 headline measures 72.18 ms vs bt=4's
+    72.03 (noise): the smaller tile is free, the safety is not."""
     def vmem_bytes(bt):
         io = bt * (3 * lq + 4 * lk) * hd * 2      # bf16 q/g/dq + k/v/dk/dv
         copies = io                               # marshalled bh operands
@@ -411,7 +414,7 @@ def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
         return 2 * io + copies + casts + scores + mask + extra_per_bt * bt
 
     bt = min(batch_tile, b)
-    while bt > 1 and (b % bt or vmem_bytes(bt) > 15 * 2**20):
+    while bt > 1 and (b % bt or vmem_bytes(bt) > 13 * 2**20):
         bt //= 2
     while b % bt:
         bt -= 1
