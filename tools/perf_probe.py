@@ -2,8 +2,18 @@
 """Backward-pass ablation probe on real hardware (VERDICT #3).
 
 Splits the headline VQA train step (b256 seq23 37r bf16) into
-  fwd-eval | fwd-train (dropout) | fwd+bwd | full step (+AdamW)
+  fwd-train (dropout) | fwd+bwd | fwd-eval | full step (+AdamW)
 and compares remat variants, printing one JSON line each.
+
+Platform caveats (axon remote TPU): the batch is device_put once and
+passed as jit ARGUMENTS (embedded jaxpr constants re-upload per call
+here), and the FIRST timed program of a process pays a multi-second
+per-call penalty — hence fwd_train leads and fwd_eval runs last.
+full_step_ms (donated, fused train step) is the ground-truth number;
+the sub-probes are for relative A/B only (their dispatch pipelines
+differ — fwd_bwd is an undonated grad probe and times slower than the
+full fused step). For absolute eval-forward throughput use
+tools/bench_eval_forward.py.
 
 Usage (single TPU process): python tools/perf_probe.py [--iters 30]
 """
@@ -134,26 +144,40 @@ def main():
             batch["image_mask"]))(jax.random.PRNGKey(0))["params"]
         sharded = shard_batch(mesh, batch)
 
-        def fwd(params, deterministic, rng):
+        # the batch ships to HBM ONCE and is passed as jit arguments —
+        # embedding it as jaxpr constants makes the sub-probe timings
+        # transport artifacts on this platform (constants re-upload)
+        dev = {kk: jax.device_put(jnp.asarray(vv))
+               for kk, vv in batch.items()}
+        dargs = (dev["question"], dev["features"], dev["spatials"],
+                 dev["segment_ids"], dev["input_mask"], dev["image_mask"],
+                 dev["target"])
+
+        def fwd(params, deterministic, rng, q_, f_, s_, seg_, im_, vm_,
+                tgt):
             pred, _ = model.apply(
-                {"params": params}, batch["question"], batch["features"],
-                batch["spatials"], "TASK1", batch["segment_ids"],
-                batch["input_mask"], batch["image_mask"],
+                {"params": params}, q_, f_, s_, "TASK1", seg_, im_, vm_,
                 deterministic=deterministic,
                 rngs=None if deterministic else {"dropout": rng})
-            tgt = jnp.asarray(batch["target"])
             per = jnp.maximum(pred, 0) - pred * tgt + \
                 jnp.log1p(jnp.exp(-jnp.abs(pred)))
             return jnp.mean(per)
 
         rng = jax.random.PRNGKey(2)
-        fwd_eval = jax.jit(lambda p: fwd(p, True, rng))
-        fwd_train = jax.jit(lambda p: fwd(p, False, rng))
-        def _grad_probe(p):
-            g = jax.grad(lambda q: fwd(q, False, rng))(p)
-            return jax.tree_util.tree_leaves(g)[0].ravel()[0]
 
-        grad_fn = jax.jit(_grad_probe)
+        @jax.jit
+        def fwd_eval(p, q_, f_, s_, seg_, im_, vm_, tgt):
+            return fwd(p, True, rng, q_, f_, s_, seg_, im_, vm_, tgt)
+
+        @jax.jit
+        def fwd_train(p, q_, f_, s_, seg_, im_, vm_, tgt):
+            return fwd(p, False, rng, q_, f_, s_, seg_, im_, vm_, tgt)
+
+        @jax.jit
+        def grad_fn(p, q_, f_, s_, seg_, im_, vm_, tgt):
+            g = jax.grad(lambda q: fwd(q, False, rng, q_, f_, s_, seg_,
+                                       im_, vm_, tgt))(p)
+            return jax.tree_util.tree_leaves(g)[0].ravel()[0]
 
         tx = build_optimizer("adamw", warmup_linear_schedule(4e-5, 100, 1e4),
                              params, clip_norm=1.0)
@@ -162,12 +186,12 @@ def main():
 
         sync = lambda x=None: (float(x) if x is not None else None)
         res = {}
-        res["fwd_eval_ms"] = timeit(
-            lambda: fwd_eval(params), sync, args.iters)
         res["fwd_train_ms"] = timeit(
-            lambda: fwd_train(params), sync, args.iters)
+            lambda: fwd_train(params, *dargs), sync, args.iters)
         res["fwd_bwd_ms"] = timeit(
-            lambda: grad_fn(params), sync, args.iters)
+            lambda: grad_fn(params, *dargs), sync, args.iters)
+        res["fwd_eval_ms"] = timeit(
+            lambda: fwd_eval(params, *dargs), sync, args.iters)
 
         holder = {"s": state}
 
