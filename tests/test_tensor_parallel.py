@@ -149,3 +149,33 @@ def test_tp_matches_dp_pretraining():
     m_tp = run(2, 2)
     for key in ("loss", "masked_t", "masked_v", "itm"):
         assert m_tp[key] == pytest.approx(m_dp[key], rel=3e-5, abs=1e-6), key
+
+
+def test_tp_shard_specs_fast():
+    """Default-gate guard for the Megatron-style parameter layout: the
+    sharding SPECS (no step, no device placement — the 95s+ placement and
+    step tests carry the slow marker) must put 'model' on the embedding
+    table rows and the FFN kernel columns, and keep LN replicated."""
+    from volta_tpu.parallel.mesh import make_mesh, param_shardings
+
+    cfg, task_cfg, model, batch, params = _setup()
+    mesh = make_mesh(n_data=len(jax.devices()) // 2, n_model=2)
+    shardings = param_shardings(mesh, params)
+
+    def find(tree, *parts):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            keys = [getattr(p, "key", "") for p in path]
+            if all(any(part == k for k in keys) for part in parts):
+                return leaf
+        raise KeyError(parts)
+
+    def spec2(sh):
+        s = tuple(sh.spec)
+        return s + (None,) * (2 - len(s))
+
+    assert spec2(find(shardings, "word_embeddings", "embedding")) == \
+        ("model", None)
+    assert spec2(find(shardings, "inter_dense", "kernel")) == \
+        (None, "model")
+    ln = find(shardings, "out_ln", "scale")
+    assert tuple(ln.spec) in ((), (None,)), ln.spec

@@ -64,7 +64,10 @@ def main():
     task_cfg = _task_cfg()
     mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
 
+    from volta_tpu.ops import pallas_attention as _pa_mod
+
     for variant in args.variants:
+        _pa_mod.NAT_BATCHED_HEADS[0] = True  # module default; variants leak
         cfg = _flagship()
         if variant == "remat_ff":
             cfg.remat_ff = True
@@ -120,9 +123,13 @@ def main():
             # in-kernel hidden-dropout mask piggyback
             cfg.fuse_hidden_dropout = True
         elif variant == "natattn":
-            # A/B: natural-layout [B,L,H,D] attention kernels (no head-major
-            # transposes -> no XLA layout copies around the kernels)
+            # natural-layout kernels are the config default now; kept so old
+            # invocations still run (a no-op vs base)
             cfg.attn_natural_layout = True
+        elif variant == "hmattn":
+            # A/B: back to the head-major [H,B,L,D] kernels (XLA layout
+            # copies around every attention site; measured 84.71 ms)
+            cfg.attn_natural_layout = False
         elif variant == "natbh":
             # A/B: nat kernels with ONE bt*H-batched dot_general per matmul
             # (in-VMEM head marshalling) vs the unrolled per-head loop

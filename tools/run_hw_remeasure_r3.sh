@@ -2,9 +2,18 @@
 # Round-3 re-measurement batch at the new defaults (natural-layout
 # attention + hash dropout): fresh profile trace, dual-stream step rates,
 # CC pretraining kl/nce. One TPU process at a time — strictly sequential.
-set -u
+set -eu
 cd /root/repo
 mkdir -p logs .synth
+
+# the VQA synth dataroot (features LMDB + annotations + vocab) — bench.py
+# generates it on first use; do the same here so a fresh host works
+if [ ! -f /tmp/volta_synth_vqa/features.lmdb ]; then
+  echo "=== generating synth vqa dataroot ($(date))"
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python tools/make_synth_data.py vqa --out /tmp/volta_synth_vqa \
+    --images 10000 > logs/synth_vqa_remeasure.log 2>&1
+fi
 
 # 0. CC synth corpus (CPU-only generation, no TPU contention)
 if [ ! -f .synth/cc/imgfeats/training_feat_all.lmdb ]; then

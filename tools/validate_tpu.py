@@ -124,15 +124,21 @@ def main():
     seed_arr = jnp.asarray(123, jnp.int32).reshape(1)
     keep_scale = 1.0 / (1.0 - rate)
 
-    def _mask_checks(name, out_k, out_r, out_w, dv_k, dv_r, dv_w):
-        dev_o = float(np.abs(out_k - out_r).max())
-        dev_ow = float(np.abs(out_k - out_w).max())
-        dev_v = float(np.abs(dv_k - dv_r).max())
-        dev_vw = float(np.abs(dv_k - dv_w).max())
-        assert dev_o < 0.05 and dev_o < dev_ow / 10, (dev_o, dev_ow)
-        assert dev_v < 0.05 and dev_v < dev_vw / 10, (dev_v, dev_vw)
-        print(f"{name} mask-consistency OK (fwd dev {dev_o:.2e} "
-              f"[ctrl {dev_ow:.2e}], dv dev {dev_v:.2e} [ctrl {dev_vw:.2e}])")
+    def _mask_checks(name, kernel, refs_good, refs_wrong):
+        # kernel/refs are (out, dv, dq, dk) tuples — dq/dk matter because
+        # they consume the mask through the dp/ds softmax-VJP branch, which
+        # out/dv (the pd branch) cannot see
+        labels = ("fwd", "dv", "dq", "dk")
+        msgs = []
+        for lbl, kk, rr, ww in zip(labels, kernel, refs_good, refs_wrong):
+            dev = float(np.abs(kk - rr).max())
+            ctrl = float(np.abs(kk - ww).max())
+            # absolute cap scales with the tensor's magnitude (dq/dk run
+            # larger than out/dv); the 10x ctrl separation is the teeth
+            lim = max(0.05, 0.02 * float(np.abs(rr).max()))
+            assert dev < lim and dev < ctrl / 10, (lbl, dev, ctrl, lim)
+            msgs.append(f"{lbl} {dev:.2e}[ctrl {ctrl:.2e}]")
+        print(f"{name} mask-consistency OK ({', '.join(msgs)})")
 
     def _hm(x):
         return jnp.transpose(x, (2, 0, 1, 3))
@@ -152,21 +158,29 @@ def main():
                                           _hm(g), mask, scale, rate, 16)
 
         def refs(m):
-            pd = probs * jnp.transpose(m, (1, 0, 2, 3)).astype(jnp.float32) \
+            mf = jnp.transpose(m, (1, 0, 2, 3)).astype(jnp.float32) \
                 * keep_scale
+            pd = probs * mf
             out_ref = jnp.einsum("bhqk,bkhd->bqhd", pd.astype(v.dtype), v,
                                  preferred_element_type=jnp.float32)
             dv_ref = jnp.einsum("bhqk,bqhd->bkhd", pd.astype(g.dtype), g,
                                 preferred_element_type=jnp.float32)
-            return out_ref, dv_ref
+            # dp/ds branch: the only path dq/dk see the mask through
+            dp = jnp.einsum("bqhd,bkhd->bhqk", g.astype(jnp.float32),
+                            v.astype(jnp.float32)) * mf
+            ds = probs * (dp - jnp.sum(dp * probs, -1, keepdims=True))
+            dq_ref = jnp.einsum("bhqk,bkhd->bqhd", ds,
+                                k.astype(jnp.float32)) * scale
+            dk_ref = jnp.einsum("bhqk,bqhd->bkhd", ds,
+                                q.astype(jnp.float32)) * scale
+            return out_ref, dv_ref, dq_ref, dk_ref
 
-        out_ref, dv_ref = refs(mask)
-        out_wrong, dv_wrong = refs(jnp.roll(mask, 1, axis=-1))
         back = lambda x: jnp.transpose(x, (1, 2, 0, 3))
-        return (back(out), out_ref, out_wrong, back(dv), dv_ref, dv_wrong)
+        return ((back(out), back(dv), back(dq), back(dk)), refs(mask),
+                refs(jnp.roll(mask, 1, axis=-1)))
 
     _mask_checks("dropout VJP",
-                 *(np.asarray(x) for x in probe_hm()))
+                 *(tuple(np.asarray(x) for x in t) for t in probe_hm()))
 
     # rate=0 -> the whole fwd+bwd must match plain attention exactly
     f0 = jax.jit(lambda vv: pa.pallas_dropout_attention(
@@ -226,20 +240,27 @@ def main():
                                       rate, 16)
 
         def refs(m):
-            pd = probs * m.astype(jnp.float32) * keep_scale
+            mf = m.astype(jnp.float32) * keep_scale
+            pd = probs * mf
             out_ref = jnp.einsum("bhqk,bkhd->bqhd", pd.astype(v.dtype), v,
                                  preferred_element_type=jnp.float32)
             dv_ref = jnp.einsum("bhqk,bqhd->bkhd", pd.astype(g.dtype), g,
                                 preferred_element_type=jnp.float32)
-            return out_ref, dv_ref
+            dp = jnp.einsum("bqhd,bkhd->bhqk", g.astype(jnp.float32),
+                            v.astype(jnp.float32)) * mf
+            ds = probs * (dp - jnp.sum(dp * probs, -1, keepdims=True))
+            dq_ref = jnp.einsum("bhqk,bkhd->bqhd", ds,
+                                k.astype(jnp.float32)) * scale
+            dk_ref = jnp.einsum("bhqk,bqhd->bkhd", ds,
+                                q.astype(jnp.float32)) * scale
+            return out_ref, dv_ref, dq_ref, dk_ref
 
-        out_ref, dv_ref = refs(mask)
-        out_wrong, dv_wrong = refs(jnp.roll(mask, 1, axis=-1))
-        return out, out_ref, out_wrong, dv, dv_ref, dv_wrong
+        return ((out, dv, dq, dk), refs(mask),
+                refs(jnp.roll(mask, 1, axis=-1)))
 
     print(f"natural-layout dropout E[out] err {err:.3f}")
     _mask_checks("natural-layout kernels",
-                 *(np.asarray(x) for x in probe_nat()))
+                 *(tuple(np.asarray(x) for x in t) for t in probe_nat()))
 
     # 4. pallas layernorm fwd/bwd parity on hardware
     x = jnp.asarray(rng.randn(512, 768).astype(np.float32))

@@ -217,11 +217,12 @@ def pallas_dropout_attention(q, k, v, bias, scale, rate, seed,
     natural-layout section below).
     """
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if natural:
+        # the cores tile with _pick_tile_nat; batch_tile is just the cap
+        return _pallas_dropout_attention_nat(q, k, v, bias, seed_arr, scale,
+                                             rate, batch_tile)
     bt = _pick_tile(q.shape[0], batch_tile, q.shape[1], k.shape[1],
                     q.shape[3])
-    if natural:
-        return _pallas_dropout_attention_nat(q, k, v, bias, seed_arr, scale,
-                                             rate, bt)
     return _pallas_dropout_attention(q, k, v, bias, seed_arr, scale, rate,
                                      bt)
 
@@ -390,7 +391,7 @@ def _nat_bias_blk(bt, lk):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
+def _pick_tile_nat(b, batch_tile, lq, lk, hd, h):
     """Largest divisor tile of b <= batch_tile whose estimated backward
     VMEM working set stays <= 13MB of the 16MB scoped limit.
 
@@ -411,13 +412,12 @@ def _pick_tile_nat(b, batch_tile, lq, lk, hd, h, extra_per_bt=0):
         casts = bt * 2 * (lq + lk) * hd * 4       # f32 casts in bwd math
         scores = 5 * bt * h * lq * lk * 4         # probs/mask/pd/dp/ds f32
         mask = bt * h * lq * lk * 2               # bf16 keep mask
-        return 2 * io + copies + casts + scores + mask + extra_per_bt * bt
+        return 2 * io + copies + casts + scores + mask
 
+    # halving exits at bt==1 or a divisor of b that fits the budget
     bt = min(batch_tile, b)
     while bt > 1 and (b % bt or vmem_bytes(bt) > 13 * 2**20):
         bt //= 2
-    while b % bt:
-        bt -= 1
     return max(bt, 1)
 
 
@@ -728,8 +728,7 @@ def _nat_eval_forward(q, k, v, bias, scale, bt):
 def pallas_fused_attention_nat(q, k, v, bias, scale):
     """Natural-layout no-dropout attention: q/k/v and all cotangents stay
     [B,L,H,D] (no layout ops around the kernels in either direction)."""
-    bt = _pick_tile(q.shape[0], 16, q.shape[1], k.shape[1], q.shape[3])
-    return _nat_eval_forward(q, k, v, bias, scale, bt)
+    return _nat_eval_forward(q, k, v, bias, scale, 16)
 
 
 def _nat_eval_fwd_rule(q, k, v, bias, scale):
