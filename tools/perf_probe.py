@@ -66,8 +66,12 @@ def main():
 
     from volta_tpu.ops import pallas_attention as _pa_mod
 
+    from volta_tpu.models import layers as _layers_mod
+
     for variant in args.variants:
-        _pa_mod.NAT_BATCHED_HEADS[0] = True  # module default; variants leak
+        _pa_mod.NAT_BATCHED_HEADS[0] = True  # module defaults; variants leak
+        _layers_mod.GELU_UPCAST[0] = True
+        _layers_mod.GELU_BF16_TANH[0] = True
         cfg = _flagship()
         if variant == "remat_ff":
             cfg.remat_ff = True
@@ -139,6 +143,22 @@ def main():
             # A/B: back to the unrolled per-head nat kernel bodies
             from volta_tpu.ops import pallas_attention as _pa
             _pa.NAT_BATCHED_HEADS[0] = False
+        elif variant == "gelu_bf16":
+            # A/B: the pre-round-3 bf16 erf gelu (bf16 erf lowers ~4x
+            # slower than f32 erf on v5e — tools/matmul_roofline.py;
+            # measured full_step 72.23 vs tanh default 69.08)
+            _layers_mod.GELU_BF16_TANH[0] = False
+            _layers_mod.GELU_UPCAST[0] = False
+        elif variant == "gelu_erf32":
+            # A/B: exact erf through an f32 sandwich (measured full_step
+            # 72.14 ~= bf16 erf's 72.23 — in the real step the forward
+            # erf hides behind other work; only tanh moves the step)
+            _layers_mod.GELU_BF16_TANH[0] = False
+        elif variant == "gelu_tanh":
+            # the sub-f32 default since the A/B above; kept as an explicit
+            # variant name (a no-op vs base)
+            cfg.hidden_act = "gelu_tanh"
+            cfg.v_hidden_act = "gelu_tanh"
         elif variant == "fused_resln":
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base
