@@ -140,6 +140,37 @@ def main():
     ms = timeit(ffn_chain_erf32, (x, w_up, w_dn, b_up, b_dn), args.iters)
     record("ffn_pair_chain_gelu_erf32", ms, 2 * n * h * f * 2 * (calls // 2))
 
+    # 3d. QKV shapes: three INDEPENDENT square matmuls over the same
+    # input (how the model computes q/k/v today) vs one fused
+    # [h, 3h] matmul (what a stored-fused QKV weight would run) —
+    # chained over layers so it matches the step's dependency structure
+    w3 = dev(h, 3 * h)
+
+    @jax.jit
+    def qkv_sep_chain(x, wq, wk, wv, wo):
+        y = x
+        for _ in range(calls // 2):
+            q, kk, vv = y @ wq, y @ wk, y @ wv
+            y = (q + kk + vv) @ wo  # stand-in combine + output proj
+        return y
+
+    ms = timeit(qkv_sep_chain, (x, *w_sq), args.iters)
+    record("qkv_separate_chain", ms, 2 * n * h * h * 4 * (calls // 2))
+
+    @jax.jit
+    def qkv_fused_chain(x, w3, wo):
+        y = x
+        for _ in range(calls // 2):
+            qkv = y @ w3
+            q = jax.lax.slice_in_dim(qkv, 0, h, axis=1)
+            kk = jax.lax.slice_in_dim(qkv, h, 2 * h, axis=1)
+            vv = jax.lax.slice_in_dim(qkv, 2 * h, 3 * h, axis=1)
+            y = (q + kk + vv) @ wo
+        return y
+
+    ms = timeit(qkv_fused_chain, (x, w3, w_sq[3]), args.iters)
+    record("qkv_fused_chain", ms, 2 * n * h * h * 4 * (calls // 2))
+
     # 4. wgrad shape: [h, n] x [n, f] — token-contraction, the other
     # matmul family the backward runs; independent instances summed
     @jax.jit
