@@ -81,10 +81,15 @@ def materialize_store_batch(store: Dict, batch: Dict, num_labels: int
 
 def make_task_train_step(model, tx, task_cfg: Dict, task_id: str,
                          mesh=None, donate: bool = True,
-                         store: Dict = None) -> Callable:
+                         store: Dict = None,
+                         compiler_options: Dict = None) -> Callable:
     """Build the jitted fine-tuning step for one task. With ``store``
     (device-resident packed features), batches carry indices + sparse
-    targets instead of dense features."""
+    targets instead of dense features. ``compiler_options`` (e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) are forwarded to the
+    backend compiler via the AOT path — the only route TPU-side XLA
+    knobs can take here, since client XLA_FLAGS abort at env parse
+    (tools/probe_compiler_options.py)."""
     tc = task_cfg[task_id]
     ttype, loss_name = tc["type"], tc.get("loss", "BCEWithLogitLoss")
     num_labels = tc.get("num_labels", 0)
@@ -121,9 +126,19 @@ def make_task_train_step(model, tx, task_cfg: Dict, task_id: str,
     if mesh is not None:
         kw["in_shardings"] = (None, None, batch_sharding(mesh))
     jitted = jax.jit(_with_mesh(step_fn, mesh), **kw)
+    if compiler_options:
+        aot = {}
+
+        def _call(state, store_arg, batch):
+            if "c" not in aot:
+                aot["c"] = jitted.lower(state, store_arg, batch).compile(
+                    compiler_options=compiler_options)
+            return aot["c"](state, store_arg, batch)
+    else:
+        _call = jitted
     if store is None:
-        return lambda state, batch: jitted(state, None, batch)
-    return lambda state, batch: jitted(state, store, batch)
+        return lambda state, batch: _call(state, None, batch)
+    return lambda state, batch: _call(state, store, batch)
 
 
 def make_task_eval_step(model, task_cfg: Dict, task_id: str, mesh=None
