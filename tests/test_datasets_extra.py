@@ -183,6 +183,38 @@ def test_visdial(tmp_path, tok):
     assert s["question"][0, 0, 0] == tok.cls_id
 
 
+def test_visdial_option_domain(tmp_path, tok):
+    """Candidate sampling must index the per-round answer_options list,
+    never the global answers list (they differ in length; regression for
+    an IndexError surfaced by the synthetic corpus where
+    len(answers)=120 > len(answer_options)=100)."""
+    import json as _json
+    from volta_tpu.data.datasets import VisDialDataset
+
+    n_answers = 120  # global pool larger than any option list
+    data = {"data": {
+        "questions": ["q ?"],
+        "answers": [f"a{i}" for i in range(n_answers)],
+        "dialogs": [{
+            "image_id": 400, "caption": "cap",
+            # short option lists (8 < max_num_option would break; use 8)
+            "dialog": [{"question": 0, "answer": 117, "gt_index": 5,
+                        "answer_options": [110 + j for j in range(8)]}
+                       for _ in range(10)],
+        }],
+    }}
+    path = tmp_path / "visdial_domain.json"
+    _json.dump(data, open(path, "w"))
+    rd = reader(tmp_path, ["400"])
+    ds = VisDialDataset("VisualDialog", str(tmp_path), str(path), "train",
+                        rd, None, tok, max_seq_length=16, max_region_num=6)
+    s = ds[0]  # old code: IndexError via permutation over len(answers)
+    assert s["question"].shape == (10, 4, 16)
+    # the positive (slot 0) encodes answer_options[gt_index] == answers[115]
+    opts = ds._round_options(ds.entries[0]["dialog"][0])
+    assert opts[0] == 5 and all(0 <= c < 8 for c in opts)
+
+
 def test_dense_caption_and_madlibs(tmp_path, tok):
     import json as _json
     from volta_tpu.data.datasets import (ReferDenseCaptionDataset,

@@ -422,13 +422,15 @@ def gen_visdial(args):
     dialogs = []
     for _ in range(n_dialogs):
         iid = 1000000 + int(rng.randint(args.images))
-        dialog = [{
-            "question": int(rng.randint(len(questions))),
-            "answer": int(rng.randint(len(answers))),
-            "gt_index": int(rng.randint(len(answers))),
-            "answer_options": [int(x) for x in
-                               rng.randint(0, len(answers), 100)],
-        } for _ in range(10)]
+        dialog = []
+        for _r in range(10):
+            ans = int(rng.randint(len(answers)))
+            opts = [int(x) for x in rng.randint(0, len(answers), 100)]
+            gt = int(rng.randint(100))  # gt_index indexes answer_options
+            opts[gt] = ans
+            dialog.append({"question": int(rng.randint(len(questions))),
+                           "answer": ans, "gt_index": gt,
+                           "answer_options": opts})
         dialogs.append({"image_id": iid, "caption": words(4, 10),
                         "dialog": dialog})
     with open(os.path.join(args.out, "visdial_1.0_train.json"), "w") as f:

@@ -47,11 +47,15 @@ class VisDialDataset(VLDataset):
             self._captions.append(enc(dialog["caption"]))
             self.entries.append({"image_id": dialog["image_id"],
                                  "dialog": dialog["dialog"], "caption": i})
-        self.ans_option = len(self._answers) if self._answers else 100
+        self.ans_option = 100  # options per round (reference visdial_dataset.py:80)
 
     def _round_options(self, rnd_entry):
+        # All candidates index into this round's answer_options list
+        # (reference visdial_dataset.py:218-232): gt_index first, then
+        # random non-gt option slots.
         cands = [rnd_entry["gt_index"]]
-        perm = self._rng.permutation(min(self.ans_option, 100))
+        perm = self._rng.permutation(
+            min(self.ans_option, len(rnd_entry["answer_options"])))
         i = 0
         while len(cands) < self.max_num_option:
             if perm[i] != rnd_entry["gt_index"]:
