@@ -180,3 +180,28 @@ def test_build_optimizer_betas_eps_correct_bias_wired():
     assert not np.allclose(base, upd(eps=1e-2))
     assert not np.allclose(base, upd(correct_bias=True))
     np.testing.assert_allclose(base, upd(betas=(0.9, 0.999), eps=1e-6))
+
+
+def test_adamw_bf16_state_dtype():
+    """Opt-in reduced-precision moments: states stored bf16, update within
+    bf16-mantissa tolerance of the f32-state update; default (None) stays
+    f32 (the golden-formula tests above pin its exact numerics)."""
+    params = {"w": jnp.linspace(0.1, 1.0, 8).astype(jnp.float32)}
+    g = {"w": jnp.linspace(-0.5, 0.5, 8).astype(jnp.float32)}
+
+    def run(state_dtype):
+        tx = build_optimizer("adamw", lambda s: 1e-3, params,
+                             state_dtype=state_dtype)
+        st = tx.init(params)
+        for _ in range(3):
+            u, st = tx.update(g, st, params)
+        return np.asarray(u["w"]), st
+
+    u32, st32 = run(None)
+    ub, stb = run(jnp.bfloat16)
+    leaves32 = jax.tree_util.tree_leaves(st32)
+    leavesb = jax.tree_util.tree_leaves(stb)
+    assert all(l.dtype == jnp.float32 for l in leaves32 if l.ndim)
+    assert any(l.dtype == jnp.bfloat16 for l in leavesb if l.ndim)
+    assert ub.dtype == np.float32  # updates stay f32 either way
+    np.testing.assert_allclose(u32, ub, rtol=2e-2, atol=1e-5)

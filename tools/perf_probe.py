@@ -43,6 +43,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--variants", nargs="*", default=["base", "remat_ff"])
+    p.add_argument("--full_only", action="store_true",
+                   help="skip the fwd/bwd sub-probes (3 remote compiles per "
+                        "variant) — for variants that only change the "
+                        "optimizer/update, full_step_ms is the whole story")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace of the timed full-step "
                         "loop into this directory (first variant only); "
@@ -64,6 +68,15 @@ def main():
     task_cfg = _task_cfg()
     mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
 
+    if args.full_only:
+        # absorb the first-timed-program per-call penalty (CLAUDE.md: the
+        # first program of a process times 3-16 s/call regardless of its
+        # actual cost) on a throwaway matmul instead of the measurement
+        warm = jax.jit(lambda a: (a @ a).sum())
+        wx = jnp.ones((512, 512), jnp.bfloat16)
+        for _ in range(10):
+            float(warm(wx))
+
     from volta_tpu.ops import pallas_attention as _pa_mod
 
     from volta_tpu.models import layers as _layers_mod
@@ -73,6 +86,7 @@ def main():
         _layers_mod.GELU_UPCAST[0] = True
         _layers_mod.GELU_BF16_TANH[0] = True
         cfg = _flagship()
+        tx_override = None
         if variant == "remat_ff":
             cfg.remat_ff = True
         elif variant == "nodrop":
@@ -163,6 +177,21 @@ def main():
             # A/B: enable the (default-off) fused dropout+residual+LN train
             # kernel against the XLA-composition base
             cfg.use_fused_residual_ln = True
+        elif variant == "opt_sgd":
+            # diagnostic (wrong training): plain SGD, no clip — isolates the
+            # whole clip+AdamW-update share of the step (m/v traffic + clip
+            # pass; HBM floor est. ~4 ms at 112M fp32 params)
+            import optax as _optax
+
+            tx_override = _optax.sgd(1e-3)
+        elif variant == "opt_noclip":
+            # A/B: drop the global-norm clip pass (one extra read of every
+            # grad + a scalar reduce before the update can start)
+            tx_override = "noclip"
+        elif variant == "opt_mv_bf16":
+            # A/B: AdamW moments stored bf16 (opt-in state_dtype) — halves
+            # the m/v HBM traffic (4 x 448 MB/step -> 2 x)
+            tx_override = "mv_bf16"
         model = VoltaForVLTasks(cfg, task_cfg, ("TASK1",))
         batch = _vqa_batch(cfg, b, l, k)
         params = jax.jit(lambda r: model.init(
@@ -206,19 +235,28 @@ def main():
                                        im_, vm_, tgt))(p)
             return jax.tree_util.tree_leaves(g)[0].ravel()[0]
 
-        tx = build_optimizer("adamw", warmup_linear_schedule(4e-5, 100, 1e4),
-                             params, clip_norm=1.0)
+        sched = warmup_linear_schedule(4e-5, 100, 1e4)
+        if tx_override is None:
+            tx = build_optimizer("adamw", sched, params, clip_norm=1.0)
+        elif tx_override == "noclip":
+            tx = build_optimizer("adamw", sched, params, clip_norm=None)
+        elif tx_override == "mv_bf16":
+            tx = build_optimizer("adamw", sched, params, clip_norm=1.0,
+                                 state_dtype=jnp.bfloat16)
+        else:
+            tx = tx_override
         state = create_train_state(jax.random.PRNGKey(1), params, tx)
         step = make_task_train_step(model, tx, task_cfg, "TASK1", mesh=mesh)
 
         sync = lambda x=None: (float(x) if x is not None else None)
         res = {}
-        res["fwd_train_ms"] = timeit(
-            lambda: fwd_train(params, *dargs), sync, args.iters)
-        res["fwd_bwd_ms"] = timeit(
-            lambda: grad_fn(params, *dargs), sync, args.iters)
-        res["fwd_eval_ms"] = timeit(
-            lambda: fwd_eval(params, *dargs), sync, args.iters)
+        if not args.full_only:
+            res["fwd_train_ms"] = timeit(
+                lambda: fwd_train(params, *dargs), sync, args.iters)
+            res["fwd_bwd_ms"] = timeit(
+                lambda: grad_fn(params, *dargs), sync, args.iters)
+            res["fwd_eval_ms"] = timeit(
+                lambda: fwd_eval(params, *dargs), sync, args.iters)
 
         holder = {"s": state}
 

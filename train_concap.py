@@ -63,6 +63,11 @@ def parse_args():
                         "assemble batches by vectorised gathers")
     # Optimization
     p.add_argument("--adam_epsilon", default=1e-6, type=float)
+    p.add_argument("--optimizer_state_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for the AdamW moments (bfloat16 "
+                        "halves their HBM traffic, ~1 ms/step at base "
+                        "scale; moments still update in float32)")
     p.add_argument("--adam_betas", default=(0.9, 0.98), nargs="+",
                    type=float,
                    help="AdamW betas (reference: train_concap.py:101)")
@@ -176,7 +181,10 @@ def main():
                          weight_decay=args.weight_decay,
                          clip_norm=args.clip_grad_norm or None,
                          grad_accum_steps=args.grad_acc_steps,
-                         betas=args.adam_betas, eps=args.adam_epsilon)
+                         betas=args.adam_betas, eps=args.adam_epsilon,
+                         state_dtype=None
+                         if args.optimizer_state_dtype == "float32"
+                         else jax.numpy.bfloat16)
 
     mesh = make_mesh(n_data=data_parallel_size(per_host_batch))
     state = create_train_state(jax.random.PRNGKey(args.seed + 1), params, tx)

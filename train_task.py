@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--adam_betas", default=(0.9, 0.999), nargs="+",
                    type=float)
     p.add_argument("--adam_correct_bias", default=False, action="store_true")
+    p.add_argument("--optimizer_state_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for the AdamW moments (bfloat16 "
+                        "halves their HBM traffic, ~1 ms/step at base "
+                        "scale; moments still update in float32)")
     p.add_argument("--weight_decay", default=0.01, type=float)
     p.add_argument("--clip_grad_norm", default=0.0, type=float)
     # TPU-native extras
@@ -181,7 +186,10 @@ def main():
                          clip_norm=args.clip_grad_norm or None,
                          grad_accum_steps=args.grad_acc_steps,
                          eps=args.adam_epsilon,
-                         correct_bias=args.adam_correct_bias)
+                         correct_bias=args.adam_correct_bias,
+                         state_dtype=None
+                         if args.optimizer_state_dtype == "float32"
+                         else jax.numpy.bfloat16)
     tx = apply_freeze(tx, params, cfg.fixed_layers)
 
     # nlvr doubles the row count inside the step, so any divisor of the

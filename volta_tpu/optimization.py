@@ -82,13 +82,19 @@ def no_decay_mask(params) -> Any:
 
 # ------------------------------------------------------------------- adamw
 def adamw(lr: Any, *, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01,
-          correct_bias: bool = False, mask=None) -> optax.GradientTransformation:
+          correct_bias: bool = False, mask=None,
+          state_dtype=None) -> optax.GradientTransformation:
     """AdamW; ``correct_bias=False`` skips the bias-correction terms exactly
-    like pytorch_transformers' default used by the reference trainers."""
+    like pytorch_transformers' default used by the reference trainers.
+    ``state_dtype`` stores the moments at reduced precision (opt-in HBM
+    trade; see _scale_by_adam_no_correction). With ``correct_bias`` it
+    maps to optax's ``mu_dtype`` (first moment only)."""
     if correct_bias:
-        tx = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        tx = optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
+                                 mu_dtype=state_dtype)
     else:
-        tx = _scale_by_adam_no_correction(b1=b1, b2=b2, eps=eps)
+        tx = _scale_by_adam_no_correction(b1=b1, b2=b2, eps=eps,
+                                          state_dtype=state_dtype)
     pieces = [tx]
     if weight_decay > 0:
         pieces.append(optax.add_decayed_weights(weight_decay, mask=mask))
@@ -101,16 +107,31 @@ class _AdamState(NamedTuple):
     nu: Any
 
 
-def _scale_by_adam_no_correction(b1, b2, eps):
+def _scale_by_adam_no_correction(b1, b2, eps, state_dtype=None):
+    """``state_dtype`` (e.g. bfloat16) stores m/v at reduced precision:
+    moments are updated in the grad dtype (f32) and cast down only for
+    storage — an opt-in HBM-traffic trade (m/v are 2×params of f32 reads
+    AND writes every step; measured ~1 ms of the headline step). bf16
+    keeps f32's exponent range so sqrt(v) cannot over/underflow; the
+    8-bit mantissa perturbs the update by ~0.4% — off by default."""
     def init(params):
-        z = lambda p: jnp.zeros_like(p)
+        z = lambda p: jnp.zeros_like(p, dtype=state_dtype or p.dtype)
         return _AdamState(jax.tree.map(z, params), jax.tree.map(z, params))
 
     def update(grads, state, params=None):
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state.nu, grads)
-        upd = jax.tree.map(lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+        def _mu(m, g):
+            return (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(m.dtype)
+
+        def _nu(v, g):
+            return (b2 * v.astype(g.dtype) +
+                    (1 - b2) * g * g).astype(v.dtype)
+
+        mu = jax.tree.map(_mu, state.mu, grads)
+        nu = jax.tree.map(_nu, state.nu, grads)
+        upd = jax.tree.map(
+            lambda m, v, g: (m.astype(g.dtype) /
+                             (jnp.sqrt(v.astype(g.dtype)) + eps)),
+            mu, nu, grads)
         return upd, _AdamState(mu, nu)
 
     return optax.GradientTransformation(init, update)
@@ -181,7 +202,8 @@ def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
                     clip_norm: Optional[float] = None,
                     grad_accum_steps: int = 1, betas=None,
                     eps: Optional[float] = None,
-                    correct_bias: bool = False
+                    correct_bias: bool = False,
+                    state_dtype=None
                     ) -> optax.GradientTransformation:
     """Assemble the full chain: clip -> optimizer(+decay mask) -> accum.
 
@@ -197,7 +219,7 @@ def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
         kw["eps"] = float(eps)
     if name == "adamw":
         tx = adamw(schedule, weight_decay=weight_decay, mask=mask,
-                   correct_bias=correct_bias, **kw)
+                   correct_bias=correct_bias, state_dtype=state_dtype, **kw)
     elif name == "radam":
         tx = radam(schedule, weight_decay=weight_decay, mask=mask, **kw)
     elif name == "plain_radam":
