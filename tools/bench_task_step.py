@@ -41,6 +41,10 @@ def main():
                         "dataset supports it) instead of one resident batch")
     p.add_argument("--no_device_store", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--trace", default=None,
+                   help="capture a jax.profiler trace of the timed "
+                        "device-only loop into this directory (analyze "
+                        "with tools/analyze_trace.py)")
     args = p.parse_args()
 
     import jax
@@ -130,11 +134,15 @@ def main():
         float(m["loss"])
         state, m = step(state, sharded)
         float(m["loss"])
+        if args.trace:
+            jax.profiler.start_trace(args.trace)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, m = step(state, sharded)
         _ = float(m["loss"])
         dt = time.perf_counter() - t0
+        if args.trace:
+            jax.profiler.stop_trace()
         iters = args.iters
 
     ms = dt / iters * 1000
