@@ -1,0 +1,106 @@
+"""int8 serving quantization: kernel numerics, model-level logit
+agreement, and the quantized export artifact round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volta_tpu import export as vexport
+from volta_tpu.ops.int8_dense import (apply_quantized, int8_dense_apply,
+                                      quantize_kernel, quantize_variables)
+
+from test_export import TASK_CFG, _batch, _tiny_cfg
+
+
+def test_int8_dense_apply_matches_manual():
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 16).astype(np.float32)
+    w = (rng.randn(16, 8) * 0.1).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+
+    q, scale = quantize_kernel(w)
+    got = np.asarray(int8_dense_apply(x, q, scale, b,
+                                      out_dtype=jnp.float32))
+
+    # manual reference: symmetric per-channel weights, per-row activations
+    ws = np.abs(w).max(0) / 127.0 + 1e-12
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int64)
+    xs = np.abs(x).max(-1, keepdims=True) / 127.0 + 1e-12
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int64)
+    want = (xq @ wq).astype(np.float64) * (xs * ws) + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # int8 quantization error itself is bounded by the usual ~1% scale
+    exact = x @ w + b
+    denom = np.abs(exact).max() + 1e-6
+    assert np.abs(got - exact).max() / denom < 0.05
+
+
+def test_quantize_variables_prunes_dense_kernels():
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    batch = _batch(cfg)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(0), batch[0], batch[1],
+                           batch[2], "TASK1", batch[3], batch[4], batch[5])
+    bundle = quantize_variables(variables)
+
+    assert bundle["int8"], "no dense layers found to quantize"
+    # every quantized entry left an empty slot in params (pruned upload)
+    leaves_fp = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    leaves_q = sum(x.size for x in jax.tree.leaves(bundle["params"]))
+    assert leaves_q < leaves_fp
+    for key, entry in bundle["int8"].items():
+        assert entry["q"].dtype == jnp.int8
+        assert entry["q"].ndim == 2
+        assert entry["scale"].shape == (entry["q"].shape[1],)
+    # the encoder's hot matmuls are all in the table
+    joined = "\n".join(bundle["int8"])
+    for frag in ("query", "key", "value", "inter_dense", "out_dense"):
+        assert frag in joined
+
+
+def test_apply_quantized_agrees_with_fp32():
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    batch = _batch(cfg)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(1), batch[0], batch[1],
+                           batch[2], "TASK1", batch[3], batch[4], batch[5])
+    fp, _ = model.apply(variables, batch[0], batch[1], batch[2], "TASK1",
+                        batch[3], batch[4], batch[5])
+    bundle = quantize_variables(variables)
+    q8, _ = apply_quantized(model, bundle, batch[0], batch[1], batch[2],
+                            "TASK1", batch[3], batch[4], batch[5])
+    fp = np.asarray(fp, np.float32)
+    q8 = np.asarray(q8, np.float32)
+    # logits agree to quantization scale and rank the same answers
+    assert np.abs(q8 - fp).max() < 0.15 * (np.abs(fp).max() + 1e-6)
+    assert (q8.argmax(-1) == fp.argmax(-1)).mean() >= 0.75
+
+
+def test_int8_export_roundtrip(tmp_path):
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    b, l, r = 4, 10, 7
+    batch = _batch(cfg, b, l, r)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(0), batch[0], batch[1],
+                           batch[2], "TASK1", batch[3], batch[4], batch[5])
+    bundle = quantize_variables(variables)
+    live, _ = apply_quantized(model, bundle, batch[0], batch[1], batch[2],
+                              "TASK1", batch[3], batch[4], batch[5])
+
+    exported = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                           variables, b, l, r,
+                                           quantize="int8")
+    path = os.path.join(str(tmp_path), "m8.stablehlo")
+    vexport.save_exported(exported, path)
+    back = vexport.load_exported(path)
+    np.testing.assert_allclose(np.asarray(back.call(bundle, *batch)),
+                               np.asarray(live), rtol=1e-5, atol=1e-6)

@@ -49,6 +49,12 @@ def main():
     p.add_argument("--use_pallas", action="store_true",
                    help="keep the Mosaic kernels in the artifact "
                         "(tpu-only serving)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight+activation int8 dense matmuls (serving "
+                        "only; weights ship 4x smaller; see "
+                        "volta_tpu/ops/int8_dense.py). With --check, "
+                        "also prints logit deviation + top-1 agreement "
+                        "vs the unquantized forward on a random batch")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a zero batch")
     p.add_argument("--bench", type=int, default=0,
@@ -94,18 +100,41 @@ def main():
     exported = vexport.export_task_forward(
         cfg, task_cfg, task, variables, bs, seq_len,
         region_len, platforms=args.platforms,
-        bake_weights=args.bake_weights)
+        bake_weights=args.bake_weights, quantize=args.quantize)
     vexport.save_exported(exported, args.out)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB, "
           f"platforms={exported.platforms})")
 
+    call_vars = variables
+    if args.quantize == "int8":
+        from volta_tpu.ops.int8_dense import quantize_variables
+        call_vars = jax.jit(quantize_variables)(variables)
+
     if args.check:
         back = vexport.load_exported(args.out)
         call = back.call if args.bake_weights else \
-            (lambda *b: back.call(variables, *b))
+            (lambda *b: back.call(call_vars, *b))
         out = np.asarray(call(*zeros))
         print(f"check OK: output {out.shape} {out.dtype}, "
               f"|mean|={abs(float(out.astype(np.float32).mean())):.4f}")
+        if args.quantize:
+            rng = np.random.RandomState(0)
+            rand = [z.copy() for z in zeros]
+            rand[0] = rng.randint(
+                1, cfg.vocab_size, rand[0].shape).astype(np.int32)
+            rand[1] = (rng.randn(*rand[1].shape) * 0.5).astype(np.float32)
+            rand[2] = rng.rand(*rand[2].shape).astype(np.float32)
+            rand[4] = np.ones_like(rand[4])
+            rand[5] = np.ones_like(rand[5])
+            qlog = np.asarray(call(*rand), np.float32)
+            flog = np.asarray(jax.jit(
+                lambda v, *b: model.apply(
+                    v, b[0], b[1], b[2], task, b[3], b[4], b[5])[0]
+            )(variables, *rand), np.float32)
+            dev = np.abs(qlog - flog)
+            agree = float((qlog.argmax(-1) == flog.argmax(-1)).mean())
+            print(f"int8 vs {args.compute_dtype}: max|dlogit|={dev.max():.4f} "
+                  f"mean={dev.mean():.5f} top1-agreement={agree:.3f}")
         if args.bench:
             import time
 
@@ -114,7 +143,7 @@ def main():
                 raw = jax.jit(back.call)
                 fn = lambda: raw(*dev_zeros)
             else:
-                dev_vars = jax.device_put(variables)
+                dev_vars = jax.device_put(call_vars)
                 raw = jax.jit(back.call)
                 fn = lambda: raw(dev_vars, *dev_zeros)
             float(np.asarray(fn()).ravel()[0])  # compile

@@ -55,7 +55,8 @@ def _eval_arg_shapes(cfg: VoltaConfig, batch_size, seq_len: int,
 def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
                         batch_size, seq_len: int, region_len: int,
                         platforms: Optional[Sequence[str]] = None,
-                        bake_weights: bool = False):
+                        bake_weights: bool = False,
+                        quantize: Optional[str] = None):
     """Stage the eval forward for one task out to a ``jax.export.Exported``.
 
     ``variables`` is the full variable dict ({"params": ...}).
@@ -71,24 +72,43 @@ def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
     payload stays small. ``bake_weights=True`` embeds the weights as
     constants for a fully self-contained ``.call(*batch)`` artifact
     (hundreds of MB at BERT-base scale).
+
+    ``quantize="int8"`` reroutes every dense matmul through
+    weight+activation int8 with int32 accumulation (see
+    ``ops/int8_dense.py``); the artifact then takes the bundle from
+    ``quantize_variables(variables)`` instead of the raw variables
+    (weights ship 4x smaller). Attention kernels, LayerNorms and
+    embeddings stay bf16/f32.
     """
     from .models import VoltaForVLTasks
 
     model = VoltaForVLTasks(cfg, task_cfg, (task,))
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if quantize == "int8":
+        from .ops.int8_dense import apply_quantized, quantize_variables
+        variables = quantize_variables(variables)
+
+        def _apply(variables_, *a):
+            return apply_quantized(model, variables_, *a)
+    else:
+        def _apply(variables_, *a):
+            return model.apply(variables_, *a)
+
     if bake_weights:
         def fwd(input_ids, image_feat, image_loc, token_type_ids,
                 attention_mask, image_attention_mask):
-            pred, _ = model.apply(variables, input_ids, image_feat,
-                                  image_loc, task, token_type_ids,
-                                  attention_mask, image_attention_mask)
+            pred, _ = _apply(variables, input_ids, image_feat,
+                             image_loc, task, token_type_ids,
+                             attention_mask, image_attention_mask)
             return pred
     else:
         def fwd(variables_, input_ids, image_feat, image_loc,
                 token_type_ids, attention_mask, image_attention_mask):
-            pred, _ = model.apply(variables_, input_ids, image_feat,
-                                  image_loc, task, token_type_ids,
-                                  attention_mask, image_attention_mask)
+            pred, _ = _apply(variables_, input_ids, image_feat,
+                             image_loc, task, token_type_ids,
+                             attention_mask, image_attention_mask)
             return pred
 
     kwargs = {}
