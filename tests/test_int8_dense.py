@@ -104,3 +104,31 @@ def test_int8_export_roundtrip(tmp_path):
     back = vexport.load_exported(path)
     np.testing.assert_allclose(np.asarray(back.call(bundle, *batch)),
                                np.asarray(live), rtol=1e-5, atol=1e-6)
+
+
+def test_int8_export_bf16_residuals(tmp_path):
+    """bf16 compute dtype -> the bundle ships bf16 residual params and the
+    artifact accepts exactly that bundle."""
+    import jax.numpy as jnp
+
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    cfg.compute_dtype = "bfloat16"
+    b, l, r = 4, 10, 7
+    batch = _batch(cfg, b, l, r)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(0), batch[0], batch[1],
+                           batch[2], "TASK1", batch[3], batch[4], batch[5])
+    bundle = quantize_variables(variables, residual_dtype=jnp.bfloat16)
+    dtypes = {x.dtype for x in jax.tree.leaves(bundle["params"])}
+    assert jnp.float32 not in dtypes
+
+    exported = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                           variables, b, l, r,
+                                           quantize="int8")
+    out = np.asarray(exported.call(bundle, *batch), np.float32)
+    fp, _ = model.apply(variables, batch[0], batch[1], batch[2], "TASK1",
+                        batch[3], batch[4], batch[5])
+    fp = np.asarray(fp, np.float32)
+    assert np.abs(out - fp).max() < 0.2 * (np.abs(fp).max() + 1e-6)

@@ -108,7 +108,9 @@ def main():
     call_vars = variables
     if args.quantize == "int8":
         from volta_tpu.ops.int8_dense import quantize_variables
-        call_vars = jax.jit(quantize_variables)(variables)
+        rd = vexport.quantize_residual_dtype(cfg)
+        call_vars = jax.jit(
+            lambda v: quantize_variables(v, residual_dtype=rd))(variables)
 
     if args.check:
         back = vexport.load_exported(args.out)

@@ -52,6 +52,13 @@ def _eval_arg_shapes(cfg: VoltaConfig, batch_size, seq_len: int,
     )
 
 
+def quantize_residual_dtype(cfg: VoltaConfig):
+    """Shipping dtype for the non-quantized params of an int8 bundle:
+    bf16 when that's the compute dtype (flax casts them there anyway),
+    else leave untouched."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
                         batch_size, seq_len: int, region_len: int,
                         platforms: Optional[Sequence[str]] = None,
@@ -88,7 +95,8 @@ def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
         raise ValueError(f"unknown quantize mode: {quantize!r}")
     if quantize == "int8":
         from .ops.int8_dense import apply_quantized, quantize_variables
-        variables = quantize_variables(variables)
+        variables = quantize_variables(
+            variables, residual_dtype=quantize_residual_dtype(cfg))
 
         def _apply(variables_, *a):
             return apply_quantized(model, variables_, *a)
