@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--max_captions", type=int, default=0,
                    help="score only the first N captions (throughput "
                         "benchmarking; metrics then cover the subset)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="run the gallery scoring with int8 dense matmuls "
+                        "(weight+activation, int32 accumulation; see "
+                        "volta_tpu/ops/int8_dense.py)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no_pallas", action="store_true")
@@ -126,12 +130,18 @@ def main():
         vv = jnp.tile(vm, (cb, 1))
         return qq, gg, mm, ff, ss, vv
 
+    if args.quantize == "int8":
+        from volta_tpu.ops.int8_dense import apply_quantized
+        _apply = lambda m, p, *a: apply_quantized(m, p, *a)
+    else:
+        _apply = lambda m, p, *a: m.apply(p, *a)
+
     if args.zero_shot:
         model = VoltaForVLPreTraining(cfg)
 
         def forward(params, q, seg, im, f, s, vm):
             qq, gg, mm, ff, ss, vv = _expand(q, seg, im, f, s, vm)
-            out = model.apply(params, qq, ff, ss, gg, mm, vv)
+            out = _apply(model, params, qq, ff, ss, gg, mm, vv)
             return jax.nn.softmax(out["itm_logits"],
                                   axis=1)[:, 0].reshape(cb, chunk)
     else:
@@ -139,7 +149,7 @@ def main():
 
         def forward(params, q, seg, im, f, s, vm):
             qq, gg, mm, ff, ss, vv = _expand(q, seg, im, f, s, vm)
-            pred, _ = model.apply(params, qq, ff, ss, task, gg, mm, vv)
+            pred, _ = _apply(model, params, qq, ff, ss, task, gg, mm, vv)
             return pred[:, 0].reshape(cb, chunk)
 
     sample = ds[0]
@@ -160,6 +170,13 @@ def main():
         variables, report = from_pretrained(cfg, variables,
                                             args.from_pretrained)
         logger.info("loaded %d tensors", len(report["loaded"]))
+
+    if args.quantize == "int8":
+        from volta_tpu.export import quantize_residual_dtype
+        from volta_tpu.ops.int8_dense import quantize_variables
+        rd = quantize_residual_dtype(cfg)
+        variables = jax.jit(
+            lambda v: quantize_variables(v, residual_dtype=rd))(variables)
 
     fwd = jax.jit(forward)
 
