@@ -105,6 +105,15 @@ def test_int8_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.call(bundle, *batch)),
                                np.asarray(live), rtol=1e-5, atol=1e-6)
 
+    # batch-polymorphic + int8 compose: the dynamic per-token quant
+    # reshape stays symbolic-dim-safe
+    poly = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                       variables, "b", l, r,
+                                       quantize="int8")
+    for bs in (2, 7):
+        out = np.asarray(poly.call(bundle, *_batch(cfg, bs, l, r)))
+        assert out.shape == (bs, 9)
+
 
 def test_int8_export_bf16_residuals(tmp_path):
     """bf16 compute dtype -> the bundle ships bf16 residual params and the
