@@ -25,7 +25,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TARGET_IX = {"kl": "0", "mse": "1", "nce": "2", "xobj": "3", "xattr": "4",
-             "huber": "5", "x1601": "6"}
+             "huber": "5", "x1601": "6",
+             # reference loss names as aliases (losses.py pre_vis_targets)
+             "xent": "3", "xent_1600": "3", "xent_400": "4",
+             "xent_1601": "6", "kl_1601": "0", "mse_2048": "1",
+             "nce_2048": "2", "huber_2048": "5"}
 
 
 def main():
