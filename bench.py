@@ -46,7 +46,53 @@ def _parse():
                         "(default ON — this host's device link is ~25 MB/s)")
     p.add_argument("--no_device_store", dest="device_store",
                    action="store_false")
+    p.add_argument("--wait_backend_s", type=int,
+                   default=int(__import__("os").environ.get(
+                       "VOLTA_BENCH_WAIT_S", "2400")),
+                   help="the axon TPU tunnel has multi-hour outages during "
+                        "which in-process backend init hangs ~25 min before "
+                        "failing UNAVAILABLE; probe for a live backend in a "
+                        "bounded subprocess and retry for up to this many "
+                        "seconds before benchmarking (0 disables)")
     return p.parse_args()
+
+
+def _wait_for_backend(max_wait_s):
+    """Probe `jax.devices()` in a killable subprocess until the backend
+    answers or the budget runs out. Returns True when a backend is live.
+    Probing in-process would hang the whole bench for ~25 min per attempt
+    (the plugin retries silently); a subprocess probe is bounded."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    probe = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=120)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"backend live after {attempt} probes: "
+                          f"{r.stdout.strip()}", file=sys.stderr, flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(f"backend still unavailable after {attempt} probes / "
+                  f"{max_wait_s}s budget; proceeding (expect failure)",
+                  file=sys.stderr, flush=True)
+            return False
+        print(f"backend probe {attempt} failed; retrying "
+              f"({int(remaining)}s left)", file=sys.stderr, flush=True)
+        time.sleep(min(60.0, max(1.0, remaining)))
 
 
 def _resolve_dataroot(spec):
@@ -137,6 +183,8 @@ def _bench_with_data(args, pieces, state, mesh, shard_batch, b):
 
 def main():
     args = _parse()
+    if args.wait_backend_s:
+        _wait_for_backend(args.wait_backend_s)
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")

@@ -144,8 +144,10 @@ def main():
         # predictions must come to host per batch (they are the output);
         # the loss/score scalars are kept as device refs and fetched in
         # one fused transfer at the end (a float() each would cost a full
-        # round trip per batch)
-        metric_refs.append((0, out))
+        # round trip per batch). Keep ONLY the scalars — retaining the
+        # whole dict would pin every batch's prediction buffer in HBM
+        metric_refs.append((0, {k: out[k]
+                                for k in ("loss", "score", "batch_size")}))
         from volta_tpu.task_utils import process_batch as pb
         _, info = pb(tc, batch)
         collect_results(tc["type"], out["prediction"], batch, info, ds,

@@ -243,3 +243,33 @@ def test_dense_caption_and_madlibs(tmp_path, tok):
                             max_region_num=6, num_labels=5)
     s2 = ds2[0]
     assert s2["target"].tolist() == [0, 0, 1, 0, 0]
+
+
+def test_visdial_short_option_list(tmp_path, tok):
+    """A round whose answer_options list is shorter than max_num_option
+    must pad by cycling candidates instead of walking off the permutation
+    (regression: IndexError when len(answer_options) <= max_num_option)."""
+    import json as _json
+    from volta_tpu.data.datasets import VisDialDataset
+
+    data = {"data": {
+        "questions": ["q ?"],
+        "answers": ["a", "b", "c"],
+        "dialogs": [{
+            "image_id": 400, "caption": "cap",
+            # 3 options < max_num_option (4): only 2 non-gt available
+            "dialog": [{"question": 0, "answer": 1, "gt_index": 1,
+                        "answer_options": [0, 1, 2]}
+                       for _ in range(10)],
+        }],
+    }}
+    path = tmp_path / "visdial_short.json"
+    _json.dump(data, open(path, "w"))
+    rd = reader(tmp_path, ["400"])
+    ds = VisDialDataset("VisualDialog", str(tmp_path), str(path), "train",
+                        rd, None, tok, max_seq_length=16, max_region_num=6)
+    s = ds[0]
+    assert s["question"].shape == (10, 4, 16)
+    opts = ds._round_options(ds.entries[0]["dialog"][0])
+    assert len(opts) == 4 and opts[0] == 1
+    assert all(0 <= c < 3 for c in opts)

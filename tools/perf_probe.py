@@ -81,10 +81,15 @@ def main():
 
     from volta_tpu.models import layers as _layers_mod
 
+    _orig_int_threshold_dropout = _layers_mod.int_threshold_dropout
+    _orig_layer_norm_ref = _layers_mod.layer_norm_ref
+
     for variant in args.variants:
         _pa_mod.NAT_BATCHED_HEADS[0] = True  # module defaults; variants leak
         _layers_mod.GELU_UPCAST[0] = True
         _layers_mod.GELU_BF16_TANH[0] = True
+        _layers_mod.int_threshold_dropout = _orig_int_threshold_dropout
+        _layers_mod.layer_norm_ref = _orig_layer_norm_ref
         cfg = _flagship()
         tx_override = None
         if variant == "remat_ff":
@@ -125,6 +130,7 @@ def main():
             # fixedmask ~= base    -> mask traffic/fusion breaks are.
             # (measured: 88.2 vs nodrop 84.8 vs rbg-bernoulli 92.3)
             cfg.use_pallas_dropout_mask = False
+            cfg.use_hash_dropout = False  # route through the patched fn
             from volta_tpu.models import layers as _layers
 
             def _fake_dropout(x, key, rate):

@@ -60,7 +60,7 @@ python -u tools/bench_task_step.py \
 
 echo "=== ctrl_lxmert VQA step ($(date))"
 python -u tools/bench_task_step.py \
-  --config_file configs/ctrl_lxmert_base.json \
+  --config_file configs/ctrl_lxmert.json \
   --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
   --vocab_file /tmp/volta_synth_vqa/vocab.txt \
   > logs/bench_lxmert_r3.log 2>&1

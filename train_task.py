@@ -185,6 +185,7 @@ def main():
                          weight_decay=args.weight_decay,
                          clip_norm=args.clip_grad_norm or None,
                          grad_accum_steps=args.grad_acc_steps,
+                         betas=tuple(args.adam_betas),
                          eps=args.adam_epsilon,
                          correct_bias=args.adam_correct_bias,
                          state_dtype=None
@@ -270,8 +271,14 @@ def main():
 
         # validation + checkpointing per epoch
         if val_loader is not None and (epoch + 1) % args.eval_period == 0:
-            outs = [(0, eval_step(state.params, shard_batch(mesh, batch)))
-                    for batch in val_loader]
+            # keep only the scalar device refs per batch — retaining the
+            # whole output dict would pin every batch's [b, num_labels]
+            # prediction buffer in HBM until the fused fetch below
+            outs = []
+            for batch in val_loader:
+                out = eval_step(state.params, shard_batch(mesh, batch))
+                outs.append((0, {k: out[k]
+                                 for k in ("loss", "score", "batch_size")}))
             for _, loss, score, bsz in fetch_metric_window(
                     outs, ("loss", "score", "batch_size")):
                 tb.step_val(loss, score, int(round(bsz)), task)

@@ -56,11 +56,17 @@ class VisDialDataset(VLDataset):
         cands = [rnd_entry["gt_index"]]
         perm = self._rng.permutation(
             min(self.ans_option, len(rnd_entry["answer_options"])))
-        i = 0
+        for p in perm:
+            if len(cands) >= self.max_num_option:
+                break
+            if p != rnd_entry["gt_index"]:
+                cands.append(int(p))
+        # a round with fewer than max_num_option answer_options (short or
+        # malformed annotation) pads by cycling the gathered candidates so
+        # the fixed option shape holds
+        base = len(cands)
         while len(cands) < self.max_num_option:
-            if perm[i] != rnd_entry["gt_index"]:
-                cands.append(int(perm[i]))
-            i += 1
+            cands.append(cands[len(cands) % base])
         return cands
 
     def _encode_round(self, caption, dialog, rnd, answer_tokens):

@@ -479,9 +479,11 @@ class GatedEncoder(nn.Module):
                             # forward/backward draws stay identical
                             x = _ff_fused_remat(layer, x, ffn_mask,
                                                 deterministic)
+                            ffn_mask = None  # one draw per FF sublayer
                         else:
                             x = layer.fused(x, deterministic=deterministic,
                                             keep_mask=ffn_mask)
+                            ffn_mask = None  # one draw per FF sublayer
             return x[:, : t.shape[1]], x[:, t.shape[1]:], ([], [], [])
 
         all_t, all_v, all_probs = [], [], []

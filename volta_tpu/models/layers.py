@@ -112,12 +112,12 @@ class LayerNorm(nn.Module):
                 return fused_layer_norm(x, scale, bias, eps=self.eps)
             return layer_norm_ref(x, scale, bias, eps=self.eps)
 
+        # branch precedence: an explicit keep_mask (drawn inside the
+        # attention kernel), then the pallas_mask / fused_residual opt-ins,
+        # then the hash-dropout default, then the XLA-RNG fallback — the
+        # opt-ins must stay reachable while hash_mask defaults on
         dropping = (not deterministic) and drop_rate > 0.0
         dropped = False
-        if dropping and keep_mask is None and self.hash_mask:
-            # counter-based draw: zero HBM traffic, rematerialised in bwd
-            x = hash_dropout(x, self.make_rng("dropout"), drop_rate)
-            dropped = True
         if dropping and not dropped and keep_mask is None \
                 and self.pallas_mask:
             # Mosaic hardware PRNG writes the keep mask (no materialised
@@ -153,6 +153,10 @@ class LayerNorm(nn.Module):
                     lambda o, r, sc, b, s: fr.dropout_residual_ln(
                         o, r, sc, b, s, drop_rate, self.eps),
                     x, residual, scale, bias, seed)
+        if dropping and not dropped and self.hash_mask:
+            # counter-based draw: zero HBM traffic, rematerialised in bwd
+            x = hash_dropout(x, self.make_rng("dropout"), drop_rate)
+            dropped = True
         if dropping and not dropped:
             x = int_threshold_dropout(x, self.make_rng("dropout"),
                                       drop_rate)
