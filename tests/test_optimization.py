@@ -34,13 +34,27 @@ def test_no_decay_mask_paths():
                 "out_ln": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
             }
         },
-        "embeddings": {"layer_norm": {"scale": jnp.ones(2)}},
+        "embeddings": {"layer_norm": {"scale": jnp.ones(2)},
+                       # reference filter blind spots: torch names without
+                       # a "LayerNorm" substring ARE decayed there
+                       "feat_ln": {"scale": jnp.ones(2)},
+                       "visual_ln_text": {"scale": jnp.ones(2)}},
+        "v_embeddings": {"feat_ln": {"scale": jnp.ones(2)}},  # ImgLayerNorm
+        "clf_VQA": {"ln": {"scale": jnp.ones(2),
+                           "bias": jnp.ones(2)}},  # logit_fc.2
+        "cls": {"predictions": {"decoder_bias": jnp.ones(2)}},
     }
     m = no_decay_mask(params)
     assert m["encoder"]["attn_0"]["query"]["kernel"] is True
     assert m["encoder"]["attn_0"]["query"]["bias"] is False
     assert m["encoder"]["attn_0"]["out_ln"]["scale"] is False
     assert m["embeddings"]["layer_norm"]["scale"] is False
+    assert m["embeddings"]["feat_ln"]["scale"] is True
+    assert m["embeddings"]["visual_ln_text"]["scale"] is True
+    assert m["v_embeddings"]["feat_ln"]["scale"] is False
+    assert m["clf_VQA"]["ln"]["scale"] is True
+    assert m["clf_VQA"]["ln"]["bias"] is False
+    assert m["cls"]["predictions"]["decoder_bias"] is False
 
 
 def test_adamw_no_bias_correction_formula():
@@ -57,18 +71,18 @@ def test_adamw_no_bias_correction_formula():
 
 
 def test_radam_early_steps_sgd_like():
-    """rho <= 4 during the first steps: RAdam degenerates to SGD-with-
-    momentum scaling; PlainRAdam produces zero update instead."""
+    """N_sma < 5 during the first steps: both RAdam and the reference's
+    PlainRAdam degenerate to the SGD-with-momentum-scaling step lr*m/(1-b1^t)
+    (volta/optimization.py:78-79,164-166 — the reference's PlainRAdam keeps
+    the fallback; only the upstream repo's variant drops it)."""
     p = {"w": jnp.array([1.0])}
     g = {"w": jnp.array([1.0])}
-    tx = radam(0.1, weight_decay=0.0)
-    st = tx.init(p)
-    upd, _ = tx.update(g, st, p)
-    assert float(upd["w"][0]) != 0.0
-    txp = plain_radam(0.1, weight_decay=0.0)
-    stp = txp.init(p)
-    updp, _ = txp.update(g, stp, p)
-    np.testing.assert_allclose(float(updp["w"][0]), 0.0, atol=1e-12)
+    for tx in (radam(0.1, weight_decay=0.0),
+               plain_radam(0.1, weight_decay=0.0)):
+        st = tx.init(p)
+        upd, _ = tx.update(g, st, p)
+        # first step: m = 0.1*g, step = lr*m/(1-0.9) = 0.1*g
+        np.testing.assert_allclose(float(upd["w"][0]), -0.1, rtol=1e-6)
 
 
 def test_grad_accumulation_equivalence():

@@ -1,0 +1,329 @@
+"""End-to-end TRAINING parity against the reference torch implementation.
+
+tests/test_reference_parity.py proves forward/loss parity; this file proves
+the rest of the train step: gradients through the gated encoder, global-norm
+clipping, the no-decay parameter grouping, and the AdamW update itself
+(pytorch_transformers semantics, correct_bias=False — the optimizer the
+reference trainers instantiate at train_concap.py:227 / train_task.py:222).
+
+Both frameworks start from ONE randomized state dict, take several full
+pretraining train steps (forward -> total loss -> backward -> clip ->
+AdamW(decoupled wd, no-decay mask)) on the identical batch, and must agree
+on (a) the loss trajectory — step k's loss depends on every previous
+update — and (b) the final parameters, compared tensor-by-tensor by
+importing the post-training torch state dict through the production
+importer.
+
+Determinism note: the reference hardcodes nn.Dropout(0.1) inside its
+pretraining heads (volta/encoders.py:750) and task classifiers, which
+config-level dropout zeroing cannot disable — so the torch side trains in
+eval() mode (gradients still flow; dropout is the only train/eval
+difference in this model family) and our side runs deterministic=True.
+
+Hyperparameters are chosen to keep the comparison well-conditioned: lr
+small enough that fp32 reduction-order noise (~1e-5 relative on grads)
+does not amplify chaotically through Adam's eps-scale denominators, clip
+low enough to be genuinely active (step-0 global norm ≈ 26), and weight
+decay large enough that a wrong no-decay mask would move LayerNorm/bias
+parameters by ~4e-3 — an order of magnitude past the comparison tolerance.
+
+The torch-side AdamW is transcribed in-test from the published
+pytorch_transformers update rule (m/v EMA, update = m/(sqrt(v)+eps), no
+bias correction, decoupled weight decay applied after the main update);
+pytorch_transformers itself is not installed in this sandbox.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import optax
+
+from volta_tpu.checkpoint import import_state_dict
+from volta_tpu.config import VoltaConfig
+from volta_tpu.losses import pretraining_losses
+from volta_tpu.models import VoltaForVLPreTraining
+from volta_tpu.optimization import build_optimizer
+from volta_tpu.parallel.train_step import _strip_global
+
+from _reference_oracle import load_reference, randomize_state_dict, \
+    reference_available
+from test_reference_parity import (CONFIG_NAMES, _cfg_params,
+                                   _pretrain_labels, make_inputs,
+                                   reduced_cfg_dict, to_torch)
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference checkout not present")
+
+LR = 1e-4
+WD = 10.0         # lr*wd = 1e-3/step: a wrong decay mask moves params ~4e-3
+CLIP = 5.0        # step-0 global norm ~26 -> the clip path is truly active
+# eps=1e-3 rather than the production 1e-6: for parameters whose grads are
+# near zero (rare vocab rows of the MLM decoder bias), update = m/(sqrt(v)+eps)
+# degenerates to m/eps and amplifies ~1e-9 fp32 reduction-order noise into
+# ~1e-4 update differences per step — eps is a pass-through hyperparameter,
+# the formula under test is identical
+EPS = 1e-3
+BETAS = (0.9, 0.999)
+STEPS = 4
+NO_DECAY = ("bias", "LayerNorm.bias", "LayerNorm.weight")
+
+
+def _torch_adamw_step(named_params, state):
+    """One pytorch_transformers-AdamW step (correct_bias=False): decoupled
+    weight decay applied to the post-update parameter, no bias correction
+    (reference usage: train_concap.py:227-231)."""
+    with torch.no_grad():
+        for name, p in named_params:
+            if p.grad is None:
+                continue
+            m, v = state.setdefault(
+                name, (torch.zeros_like(p), torch.zeros_like(p)))
+            g = p.grad
+            m.mul_(BETAS[0]).add_(g, alpha=1 - BETAS[0])
+            v.mul_(BETAS[1]).addcmul_(g, g, value=1 - BETAS[1])
+            p.add_(m / (v.sqrt() + EPS), alpha=-LR)
+            if not any(nd in name for nd in NO_DECAY):
+                p.add_(p, alpha=-LR * WD)
+
+
+def _batch(d, inputs, labels, mlm_labels, itm_labels):
+    ids, feats, locs, types, t_mask, v_mask = inputs
+    b = dict(input_ids=ids, image_feat=feats, image_loc=locs,
+             segment_ids=types, input_mask=t_mask, image_mask=v_mask,
+             lm_label_ids=mlm_labels.astype(np.int32),
+             image_label=labels["image_label"].astype(np.int32),
+             image_cls=labels["image_cls"],
+             is_match=itm_labels.astype(np.int32))
+    for k in ("obj_labels", "attr_labels"):
+        b[k] = labels[k].astype(np.int32)
+    for k in ("obj_confs", "attr_confs"):
+        b[k] = labels[k]
+    return b
+
+
+@pytest.mark.parametrize("name", _cfg_params(fast={"ctrl_uniter_base"}))
+def test_pretrain_train_step_parity(name):
+    ref = load_reference()
+    d = reduced_cfg_dict(name)
+    ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
+    seed = 7000 + CONFIG_NAMES.index(name)
+    torch.manual_seed(seed)
+    ref_model = ref.encoders.BertForVLPreTraining(ref_cfg)
+    sd = randomize_state_dict(ref_model, seed)  # loads + sets eval()
+    cfg = VoltaConfig.from_dict(dict(d, use_pallas=False))
+
+    rng = np.random.RandomState(31)
+    inputs = make_inputs(d, seed=23)
+    labels, mlm_labels, itm_labels = _pretrain_labels(d, rng)
+    batch = _batch(d, inputs, labels, mlm_labels, itm_labels)
+
+    # ---- volta_tpu side ----------------------------------------------------
+    model = VoltaForVLPreTraining(cfg)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
+                                    types, t_mask, v_mask)
+    variables, report = import_state_dict(cfg, variables, sd)
+    assert not report["skipped"], report["skipped"]
+    params = variables["params"]
+    tx = build_optimizer("adamw", LR, params, weight_decay=WD,
+                         clip_norm=CLIP, betas=BETAS, eps=EPS,
+                         correct_bias=False)
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, batch["input_ids"], batch["image_feat"],
+            batch["image_loc"], batch["segment_ids"], batch["input_mask"],
+            batch["image_mask"], deterministic=True)
+        mlm, mrm, itm = pretraining_losses(
+            cfg, out, masked_lm_labels=batch["lm_label_ids"],
+            image_label=batch["image_label"], image_cls=batch["image_cls"],
+            image_feat=_strip_global(cfg, batch["image_feat"]),
+            obj_labels=batch["obj_labels"], obj_confs=batch["obj_confs"],
+            attr_labels=batch["attr_labels"], attr_confs=batch["attr_confs"],
+            next_sentence_label=batch["is_match"])
+        return mlm + mrm + itm
+
+    @jax.jit
+    def train_step(p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    ours = []
+    for _ in range(STEPS):
+        params, opt_state, loss = train_step(params, opt_state)
+        ours.append(float(loss))
+
+    # ---- reference side: backward + clip + AdamW ---------------------------
+    lt = lambda x: torch.tensor(x)  # noqa: E731
+    tb = to_torch(*inputs)
+    torch_opt_state = {}
+    theirs = []
+    clipped = False
+    for _ in range(STEPS):
+        ref_model.zero_grad()
+        mlm, img, itm = ref_model(
+            *tb, masked_lm_labels=lt(mlm_labels),
+            image_label=lt(labels["image_label"]),
+            image_cls=lt(labels["image_cls"]),
+            obj_labels=lt(labels["obj_labels"]),
+            obj_confs=lt(labels["obj_confs"]),
+            attr_labels=lt(labels["attr_labels"]),
+            attr_confs=lt(labels["attr_confs"]),
+            image_attrs=None, next_sentence_label=lt(itm_labels))
+        loss = mlm + img + itm
+        loss.backward()
+        norm = torch.nn.utils.clip_grad_norm_(ref_model.parameters(), CLIP)
+        clipped = clipped or float(norm) > CLIP
+        _torch_adamw_step(list(ref_model.named_parameters()),
+                          torch_opt_state)
+        theirs.append(float(loss.detach()))
+
+    assert clipped, "clip never engaged; raise the loss scale or lower CLIP"
+    # per-step losses: step k reflects every update before it
+    np.testing.assert_allclose(ours, theirs, rtol=3e-3)
+    assert theirs[-1] < theirs[0]  # training actually descends
+
+    # final parameters: import the post-training torch state dict and
+    # compare the whole tree against our post-training params
+    final_vars, report = import_state_dict(
+        cfg, jax.tree.map(np.copy, variables),
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()})
+    assert not report["skipped"], report["skipped"]
+    flat_ref = jax.tree_util.tree_flatten_with_path(final_vars["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert len(flat_ref) == len(flat_ours)
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        assert path_r == path_o
+        np.testing.assert_allclose(
+            np.asarray(leaf_o), np.asarray(leaf_r), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path_r))
+
+
+FT_CLIP = 1.0
+FT_TASK = {"VQA": {"type": "VL-classifier", "num_labels": 13,
+                   "process": "normal"}}
+
+
+def _torch_grouped_params(model):
+    """The reference trainers' two param groups (train_task.py:207-218)."""
+    decay, nodecay = [], []
+    for n, p in model.named_parameters():
+        (nodecay if any(nd in n for nd in NO_DECAY) else decay).append(p)
+    return [{"params": decay, "weight_decay": WD},
+            {"params": nodecay, "weight_decay": 0.0}]
+
+
+@pytest.mark.parametrize("optim", [
+    "adamw",
+    # RAdam: oracle is the reference's own volta.optimization.RAdam —
+    # 4 steps cover both the N_sma<5 SGD fallback (steps 1-3 at b2=0.999)
+    # and the rectified-adaptive branch (step 4)
+    pytest.param("radam", marks=pytest.mark.slow),
+])
+@pytest.mark.parametrize("name", _cfg_params(fast={"ctrl_uniter_base"}))
+def test_finetune_train_step_parity(name, optim):
+    """Same proof for the fine-tuning step: BertForVLTasks forward, the
+    BCEWithLogitLoss * num_labels VQA objective (reference:
+    volta/task_utils.py:238-241), backward, clip, AdamW or RAdam."""
+    from volta_tpu.models import VoltaForVLTasks
+    from volta_tpu.task_utils import process_batch, task_loss_and_score
+
+    ref = load_reference()
+    d = reduced_cfg_dict(name)
+    ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
+    seed = 7100 + CONFIG_NAMES.index(name)
+    torch.manual_seed(seed)
+    ref_model = ref.encoders.BertForVLTasks(ref_cfg, FT_TASK, ["VQA"])
+    sd = randomize_state_dict(ref_model, seed)  # loads + sets eval()
+    cfg = VoltaConfig.from_dict(dict(d, use_pallas=False))
+
+    rng = np.random.RandomState(41)
+    inputs = make_inputs(d, seed=29)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+    target = rng.rand(ids.shape[0], 13).astype(np.float32)
+    batch = dict(question=ids, features=feats, spatials=locs,
+                 segment_ids=types, input_mask=t_mask, image_mask=v_mask,
+                 target=target)
+
+    model = VoltaForVLTasks(cfg, FT_TASK, ("VQA",))
+    variables = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), ids, feats, locs, "VQA", types, t_mask,
+        v_mask)
+    variables, report = import_state_dict(cfg, variables, sd)
+    assert not report["skipped"], report["skipped"]
+    params = variables["params"]
+    tx = build_optimizer(optim, LR, params, weight_decay=WD,
+                         clip_norm=FT_CLIP, betas=BETAS, eps=EPS,
+                         correct_bias=False)
+    tc = FT_TASK["VQA"]
+
+    def loss_fn(p):
+        model_in, info = process_batch(tc, batch)
+        pred, _ = model.apply(
+            {"params": p}, model_in["input_ids"], model_in["image_feat"],
+            model_in["image_loc"], "VQA", model_in["token_type_ids"],
+            model_in["attention_mask"], model_in["image_attention_mask"],
+            deterministic=True)
+        loss, _ = task_loss_and_score(tc["type"], pred, batch, info)
+        return loss
+
+    @jax.jit
+    def train_step(p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    ours = []
+    for _ in range(STEPS):
+        params, opt_state, loss = train_step(params, opt_state)
+        ours.append(float(loss))
+
+    tb = to_torch(*inputs)
+    t_target = torch.tensor(target)
+    criterion = torch.nn.BCEWithLogitsLoss(reduction="mean")
+    torch_opt_state = {}
+    import volta.optimization as ref_opt  # loaded by load_reference()
+    radam_opt = ref_opt.RAdam(_torch_grouped_params(ref_model), lr=LR,
+                              betas=BETAS, eps=EPS) if optim == "radam" \
+        else None
+    theirs = []
+    clipped = False
+    for _ in range(STEPS):
+        ref_model.zero_grad()
+        pred, _, _, _ = ref_model(tb[0], tb[1], tb[2], "VQA", tb[3], tb[4],
+                                  tb[5].float())
+        loss = criterion(pred, t_target).mean() * t_target.size(1)
+        loss.backward()
+        norm = torch.nn.utils.clip_grad_norm_(ref_model.parameters(),
+                                              FT_CLIP)
+        clipped = clipped or float(norm) > FT_CLIP
+        if radam_opt is not None:
+            radam_opt.step()
+        else:
+            _torch_adamw_step(list(ref_model.named_parameters()),
+                              torch_opt_state)
+        theirs.append(float(loss.detach()))
+
+    assert clipped, "clip never engaged; lower FT_CLIP"
+    np.testing.assert_allclose(ours, theirs, rtol=3e-3)
+    assert theirs[-1] < theirs[0]
+
+    final_vars, report = import_state_dict(
+        cfg, jax.tree.map(np.copy, variables),
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()})
+    assert not report["skipped"], report["skipped"]
+    flat_ref = jax.tree_util.tree_flatten_with_path(final_vars["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert len(flat_ref) == len(flat_ours)
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        assert path_r == path_o
+        np.testing.assert_allclose(
+            np.asarray(leaf_o), np.asarray(leaf_r), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path_r))

@@ -63,15 +63,50 @@ SCHEDULES = {
 
 
 # ------------------------------------------------------------------- masks
+# LayerNorm scales the reference trainers DO weight-decay: their no_decay
+# filter matches the substrings 'bias' / 'LayerNorm.bias' / 'LayerNorm.weight'
+# (reference: train_task.py:207-218, train_concap.py:201-224), which misses
+# the norms whose torch PARAMETER PATHS don't contain "LayerNorm" —
+# UNITER's image_layer_norm / image_location_layer_norm
+# (volta/embeddings.py:421-422), VL-BERT's visual_ln_text /
+# visual_ln_object (volta/embeddings.py:218-219), and the SimpleClassifier
+# task heads, whose LN lives at Sequential slot "logit_fc.2"
+# (volta/encoders.py:791-796). LXMERT's ImgLayerNorm / LocLayerNorm (our
+# v_embeddings/{feat,loc}_ln) DO contain it and stay undecayed. Verified
+# end-to-end by tests/test_train_parity.py.
+_DECAYED_LN_SCALES = (
+    ("embeddings", "feat_ln"),          # uniter image_layer_norm
+    ("embeddings", "loc_ln"),           # uniter image_location_layer_norm
+    ("embeddings", "visual_ln_text"),   # vl-bert
+    ("embeddings", "visual_ln_object"),  # vl-bert
+)
+
+
+def _ref_decays_scale(names) -> bool:
+    if len(names) < 3:
+        return False
+    mod, ln = names[-3], names[-2]
+    if (mod, ln) in _DECAYED_LN_SCALES:
+        return True
+    # SimpleClassifier heads: torch path clfs_dict.<task>.logit_fc.2.weight
+    return mod.startswith("clf_") and ln == "ln"
+
+
 def no_decay_mask(params) -> Any:
     """True where weight decay applies; bias and LayerNorm scale/bias are
-    excluded (reference: train_task.py:207-218 matches 'bias', 'LayerNorm')."""
+    excluded (reference: train_task.py:207-218 matches 'bias', 'LayerNorm'),
+    except the reference's own name-based blind spots (see
+    _DECAYED_LN_SCALES), which it decays and so do we."""
 
     def decide(path, _):
         names = [p.key for p in path if hasattr(p, "key")]
         leaf = names[-1] if names else ""
-        if leaf in ("bias", "scale"):
+        if leaf == "bias" or leaf.endswith("_bias"):
+            # decoder_bias is the tied MLM head's output bias — torch name
+            # "cls.predictions.bias", undecayed by the reference filter
             return False
+        if leaf == "scale":
+            return _ref_decays_scale(names)
         if any("ln" == n or n.endswith("_ln") or "layer_norm" in n
                for n in names):
             return False
@@ -172,12 +207,18 @@ def radam(lr: Any, *, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
         rect = jnp.sqrt(jnp.maximum(
             ((rho - 4) * (rho - 2) * rho_inf) /
             jnp.maximum((rho_inf - 4) * (rho_inf - 2) * rho, 1e-12), 0.0))
-        adaptive = rho > 4.0
-        step_adapt = rect / (1.0 - b1t)
+        # threshold is N_sma >= 5, NOT rho > 4: at b2=0.999 step 3 has
+        # rho ~= 4.99, which the reference still treats as non-adaptive
+        # (volta/optimization.py:63,84)
+        adaptive = rho >= 5.0
+        # reference form: step = sqrt((1-b2t)*X)/(1-b1t) * m/(sqrt(v)+eps) —
+        # eps sits OUTSIDE the bias correction, on raw sqrt(v)
+        # (volta/optimization.py:63-71,86-88)
+        step_adapt = rect * jnp.sqrt(1.0 - b2t) / (1.0 - b1t)
         step_sgd = (1.0 / (1.0 - b1t)) if degenerated_to_sgd else 0.0
 
         def leaf(m, v):
-            denom = jnp.sqrt(v / (1.0 - b2t)) + eps
+            denom = jnp.sqrt(v) + eps
             return jnp.where(adaptive, step_adapt * m / denom,
                              step_sgd * m)
 
@@ -192,8 +233,14 @@ def radam(lr: Any, *, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
 
 
 def plain_radam(lr, **kw):
-    """PlainRAdam (reference: volta/optimization.py:96-169): no SGD fallback."""
-    kw["degenerated_to_sgd"] = False
+    """PlainRAdam (reference: volta/optimization.py:96-169).
+
+    The reference's PlainRAdam is update-for-update identical to its RAdam
+    — including the SGD-style fallback when N_sma < 5
+    (volta/optimization.py:164-166); the only difference there is a
+    step-size cache. (The upstream RAdam repo's PlainRAdam drops the
+    fallback, but the reference's copy does not.)"""
+    kw.setdefault("degenerated_to_sgd", True)
     return radam(lr, **kw)
 
 
