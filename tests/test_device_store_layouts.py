@@ -141,3 +141,44 @@ def test_nlvr2_store_step_matches_dense(tmp_path):
     task_cfg = {"TASK1": {"type": "VL-binary-classifier", "process": "nlvr",
                           "loss": "BCEWithLogitLoss", "num_labels": 2}}
     _run_pair(cfg, task_cfg, dense, small, ds.device_store_arrays())
+
+
+def test_store_wire_dtypes_narrow(tmp_path):
+    """Device-store batches ship narrow wire dtypes (int16 tokens, int8
+    masks/segments) that _widen_wire restores to int32 on device — the
+    equivalence tests above prove numerics; this pins the wire format so
+    a regression back to int32/int64 (4x the host->device bytes on this
+    25 MB/s link) fails loudly."""
+    tmp = str(tmp_path)
+    ids = [10, 11, 12]
+    feat_path = fixtures.make_features_lmdb(tmp, ids, feature_size=FS)
+    fixtures.make_vqa_annotations(tmp, ids, n_questions=8, num_labels=9)
+    tok = BertTokenizer(fixtures.make_vocab(tmp))
+    reader = ImageFeaturesReader(feat_path, num_locs=5, feature_size=FS)
+    ds = DatasetMapTrain["VQA"](
+        task="VQA", dataroot=tmp, annotations_jsonpath="", split="train",
+        image_features_reader=reader, gt_image_features_reader=None,
+        tokenizer=tok, bert_model="bert-base-uncased", padding_index=0,
+        max_seq_length=12, max_region_num=6, num_locs=5,
+        add_global_imgfeat=None)
+    ds.enable_device_store(cache=False)
+    b = ds.get_batch(np.arange(8))
+    assert b["question"].dtype == np.int16
+    assert b["input_mask"].dtype == np.int8
+    assert b["segment_ids"].dtype == np.int8
+    assert b["target_labels"].dtype == np.int16
+    # and the device side widens them before any compute
+    from volta_tpu.parallel.train_step import _widen_wire
+
+    w = _widen_wire({k: jax.numpy.asarray(v) for k, v in b.items()
+                     if k != "question_id"})
+    assert w["question"].dtype == jax.numpy.int32
+    assert w["input_mask"].dtype == jax.numpy.int32
+    np.testing.assert_array_equal(np.asarray(w["question"]), b["question"])
+
+    # shard_batch keeps question_id off the device wire entirely
+    from volta_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    sb = shard_batch(mesh, b)
+    assert "question_id" not in sb and "question" in sb

@@ -43,6 +43,20 @@ def encode_question(tokenizer, text: str, max_len: int, pad: int = 0,
     return pad_tokens(out, max_len, pad)
 
 
+def narrow_wire_text(tokens, mask, seg):
+    """Narrow the per-step wire dtypes for device-store batches: token ids
+    to int16 when the vocab fits (BERT's 30,522 does; RoBERTa's 50,265
+    stays int32), 0/1 masks and segment ids to int8. The device step widens
+    everything back to int32 before any compute
+    (parallel.train_step._widen_wire) so numerics are untouched — the
+    narrow dtypes exist only to cross the host->device link, the store
+    mode's one remaining per-step cost."""
+    tok = (tokens.astype(np.int16)
+           if tokens.size and int(tokens.max()) < 2 ** 15
+           else tokens.astype(np.int32))
+    return tok, mask.astype(np.int8), seg.astype(np.int8)
+
+
 def pad_regions(features, num_boxes: int, boxes, max_regions: int,
                 num_locs: int, feature_size: int = 2048):
     """Fixed-shape region padding (reference: vqa_dataset.py:245-261)."""

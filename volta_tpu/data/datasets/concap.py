@@ -467,13 +467,18 @@ class ConceptCapDataset:
 
     def _get_store_batch(self, idx):
         h = self._host_masking(idx)
+        # narrow wire dtypes (the device step widens back to int32 —
+        # parallel.train_step._widen_wire): token/label ids fit int16 for
+        # BERT vocabs, masks/segments/is_match are 0/1
+        ids_fit = len(self.tokenizer) < 2 ** 15
+        tok_dt = np.int16 if ids_fit else np.int32
         return {
             "store_rows": h["idx"].astype(np.int32),
-            "input_ids": h["input_ids"],
-            "input_mask": h["input_mask"],
-            "segment_ids": np.zeros_like(h["input_ids"]),
-            "lm_label_ids": h["lm_labels"].astype(np.int32),
-            "is_match": h["is_match"],
+            "input_ids": h["input_ids"].astype(tok_dt),
+            "input_mask": h["input_mask"].astype(np.int8),
+            "segment_ids": np.zeros(h["input_ids"].shape, np.int8),
+            "lm_label_ids": h["lm_labels"].astype(tok_dt),
+            "is_match": h["is_match"].astype(np.int8),
             "mrm_mask": h["do_r"],
             "mrm_zero": h["zero"],
         }

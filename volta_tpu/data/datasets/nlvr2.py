@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import VLDataset, cached_entries, read_jsonlines
+from .base import (VLDataset, cached_entries, narrow_wire_text,
+                   read_jsonlines)
 import os
 
 
@@ -72,6 +73,8 @@ class NLVR2Dataset(VLDataset):
         self._target = tgt
         self._qid = np.array([e["question_id"] for e in self.entries],
                              np.int64)
+        self._q_tokens, self._q_mask, self._q_seg = narrow_wire_text(
+            self._q_tokens, self._q_mask, self._q_seg)
         self.get_batch = self._get_store_batch  # consumed by DataLoader
 
     def device_store_arrays(self):

@@ -13,7 +13,7 @@ import os
 import pickle
 import numpy as np
 
-from .base import VLDataset, cache_pickle
+from .base import VLDataset, cache_pickle, narrow_wire_text
 
 
 def _load_pickle(path):
@@ -120,7 +120,16 @@ class SoftTargetQADataset(VLDataset):
         K = max(int(self._t_counts.max()) if len(self._t_counts) else 1, 1)
         self._t_offsets = np.concatenate([[0], np.cumsum(self._t_counts)])
         self._dense_k = K
+        self._narrow_wire()
         self.get_batch = self._get_store_batch
+
+    def _narrow_wire(self):
+        """Pre-narrow the per-step wire arrays (see base.narrow_wire_text);
+        sparse target labels fit int16 for every answer space here."""
+        self._w_tokens, self._w_mask, self._w_seg = narrow_wire_text(
+            self._q_tokens, self._q_mask, self._q_seg)
+        self._lab_dt = (np.int16 if getattr(self, "num_labels", 2 ** 15)
+                        < 2 ** 15 else np.int32)
 
     def device_store_arrays(self):
         return {"feat": np.asarray(self._pf.feat),
@@ -129,7 +138,7 @@ class SoftTargetQADataset(VLDataset):
 
     def _get_store_batch(self, idx):
         b, K = len(idx), self._dense_k
-        labels = np.full((b, K), -1, np.int32)
+        labels = np.full((b, K), -1, self._lab_dt)
         scores = np.zeros((b, K), np.float32)
         for j, i in enumerate(idx):
             o, c = self._t_offsets[i], self._t_counts[i]
@@ -139,9 +148,9 @@ class SoftTargetQADataset(VLDataset):
             "store_rows": self._img_row[idx].astype(np.int32),
             "target_labels": labels,
             "target_scores": scores,
-            "question": self._q_tokens[idx],
-            "input_mask": self._q_mask[idx],
-            "segment_ids": self._q_seg[idx],
+            "question": self._w_tokens[idx],
+            "input_mask": self._w_mask[idx],
+            "segment_ids": self._w_seg[idx],
             "question_id": self._qid[idx],
         }
 

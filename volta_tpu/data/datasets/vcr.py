@@ -18,7 +18,8 @@ import random
 
 import numpy as np
 
-from .base import VLDataset, cached_entries, pad_tokens, read_jsonlines
+from .base import (VLDataset, cached_entries, narrow_wire_text,
+                   pad_tokens, read_jsonlines)
 
 
 def _conv_id(img_id: str) -> int:
@@ -184,6 +185,8 @@ class VCRDataset(VLDataset):
         self._target = np.array([e["target"] for e in self.entries],
                                 np.int32)
         self._qid = np.array([e["anno_id"] for e in self.entries], np.int64)
+        self._q_tokens, self._q_mask, self._q_seg = narrow_wire_text(
+            self._q_tokens, self._q_mask, self._q_seg)
         self.get_batch = self._get_store_batch  # consumed by DataLoader
 
     def device_store_arrays(self):

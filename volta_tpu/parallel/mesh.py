@@ -126,6 +126,11 @@ def shard_batch(mesh: Mesh, batch):
     would silently treat each host's local batch as the global one.
     """
     sh = batch_sharding(mesh)
+    if isinstance(batch, dict) and "question_id" in batch:
+        # host-only key: no jitted step reads it (eval dumps zip predictions
+        # with the HOST batch's ids, eval_task.py:collect_results) — shipping
+        # it would spend host->device link bytes every step for nothing
+        batch = {k: v for k, v in batch.items() if k != "question_id"}
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(

@@ -33,6 +33,20 @@ def create_train_state(rng, params, tx) -> TrainState:
                       opt_state=tx.init(params), rng=rng)
 
 
+def _widen_wire(batch: Dict) -> Dict:
+    """Widen narrow wire dtypes back to int32 on device. Device-store
+    batches ship int16 token/label ids and int8 masks/segments to halve
+    the host->device link bytes (data/datasets/base.py:narrow_wire_text);
+    widening first keeps every downstream op — embedding gathers, additive
+    masks, loss denominators — identical to the dense path bit-for-bit."""
+    def w(x):
+        if hasattr(x, "dtype") and x.dtype in (jnp.int8, jnp.int16):
+            return x.astype(jnp.int32)
+        return x
+
+    return {k: w(v) for k, v in batch.items()}
+
+
 # ------------------------------------------------------------- fine-tuning
 def materialize_store_batch(store: Dict, batch: Dict, num_labels: int
                             ) -> Dict:
@@ -44,6 +58,7 @@ def materialize_store_batch(store: Dict, batch: Dict, num_labels: int
     bandwidth inside the jitted step. TPU-native replacement for shipping
     dense features over a slow host link every step.
     """
+    batch = _widen_wire(batch)
     rows = batch["store_rows"]
     full = {k2: v for k2, v in batch.items()
             if k2 not in ("store_rows", "target_labels", "target_scores")}
@@ -169,6 +184,7 @@ def materialize_cc_store_batch(store: Dict, batch: Dict, cfg) -> Dict:
     HBM, apply the host-drawn MRM masks, compute the overlap co-mask and
     the global mean feature on device. Mirrors
     ConceptCapDataset._get_packed_batch exactly (equivalence-tested)."""
+    batch = _widen_wire(batch)
     rows = batch["store_rows"]
     do_r = batch["mrm_mask"]
     zero = batch["mrm_zero"]
