@@ -221,9 +221,10 @@ def _torch_grouped_params(model):
 
 @pytest.mark.parametrize("optim", [
     "adamw",
-    # RAdam: oracle is the reference's own volta.optimization.RAdam —
-    # 4 steps cover both the N_sma<5 SGD fallback (steps 1-3 at b2=0.999)
-    # and the rectified-adaptive branch (step 4)
+    # RAdam: oracle is the reference's own volta.optimization.RAdam — at
+    # b2=0.999 N_sma first reaches 5 at step 6 (4.996 at step 5), so 8
+    # steps cover the SGD fallback (1-5, incl. the boundary step where the
+    # old rho>4 threshold diverges) AND the rectified-adaptive branch (6-8)
     pytest.param("radam", marks=pytest.mark.slow),
 ])
 @pytest.mark.parametrize("name", _cfg_params(fast={"ctrl_uniter_base"}))
@@ -261,6 +262,7 @@ def test_finetune_train_step_parity(name, optim):
     tx = build_optimizer(optim, LR, params, weight_decay=WD,
                          clip_norm=FT_CLIP, betas=BETAS, eps=EPS,
                          correct_bias=False)
+    steps = 8 if optim == "radam" else STEPS
     tc = FT_TASK["VQA"]
 
     def loss_fn(p):
@@ -281,7 +283,7 @@ def test_finetune_train_step_parity(name, optim):
 
     opt_state = tx.init(params)
     ours = []
-    for _ in range(STEPS):
+    for _ in range(steps):
         params, opt_state, loss = train_step(params, opt_state)
         ours.append(float(loss))
 
@@ -295,7 +297,7 @@ def test_finetune_train_step_parity(name, optim):
         else None
     theirs = []
     clipped = False
-    for _ in range(STEPS):
+    for _ in range(steps):
         ref_model.zero_grad()
         pred, _, _, _ = ref_model(tb[0], tb[1], tb[2], "VQA", tb[3], tb[4],
                                   tb[5].float())

@@ -440,6 +440,11 @@ class ConceptCapDataset:
         (parallel.train_step.materialize_cc_store_batch)."""
         if not hasattr(self, "_p"):
             self.enable_packed(**packed_kwargs)
+        # wire dtype for token/label ids, decided once (same vocab-fits
+        # criterion as base.narrow_wire_text; mask ids/random words are all
+        # < len(tokenizer))
+        self._tok_dt = (np.int16 if len(self.tokenizer) < 2 ** 15
+                        else np.int32)
         self.get_batch = self._get_store_batch
 
     def device_store_arrays(self, targets=None):
@@ -470,8 +475,7 @@ class ConceptCapDataset:
         # narrow wire dtypes (the device step widens back to int32 —
         # parallel.train_step._widen_wire): token/label ids fit int16 for
         # BERT vocabs, masks/segments/is_match are 0/1
-        ids_fit = len(self.tokenizer) < 2 ** 15
-        tok_dt = np.int16 if ids_fit else np.int32
+        tok_dt = self._tok_dt
         return {
             "store_rows": h["idx"].astype(np.int32),
             "input_ids": h["input_ids"].astype(tok_dt),

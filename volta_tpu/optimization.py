@@ -207,9 +207,9 @@ def radam(lr: Any, *, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
         rect = jnp.sqrt(jnp.maximum(
             ((rho - 4) * (rho - 2) * rho_inf) /
             jnp.maximum((rho_inf - 4) * (rho_inf - 2) * rho, 1e-12), 0.0))
-        # threshold is N_sma >= 5, NOT rho > 4: at b2=0.999 step 3 has
-        # rho ~= 4.99, which the reference still treats as non-adaptive
-        # (volta/optimization.py:63,84)
+        # threshold is N_sma >= 5, NOT rho > 4: at b2=0.999 step 5 has
+        # rho ~= 4.996, which the reference still treats as non-adaptive
+        # (volta/optimization.py:63,84); adaptive first engages at step 6
         adaptive = rho >= 5.0
         # reference form: step = sqrt((1-b2t)*X)/(1-b1t) * m/(sqrt(v)+eps) —
         # eps sits OUTSIDE the bias correction, on raw sqrt(v)

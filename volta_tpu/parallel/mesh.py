@@ -115,6 +115,12 @@ def state_shardings(mesh: Mesh, state):
             if hasattr(leaf, "ndim") else P()), state)
 
 
+# batch keys consumed only on the host (eval dumps zip predictions with the
+# HOST batch's ids, eval_task.py:collect_results) — never shipped to the
+# device, where they would spend host->device link bytes every step
+HOST_ONLY_KEYS = frozenset({"question_id"})
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, sharded along the data axis.
 
@@ -126,11 +132,8 @@ def shard_batch(mesh: Mesh, batch):
     would silently treat each host's local batch as the global one.
     """
     sh = batch_sharding(mesh)
-    if isinstance(batch, dict) and "question_id" in batch:
-        # host-only key: no jitted step reads it (eval dumps zip predictions
-        # with the HOST batch's ids, eval_task.py:collect_results) — shipping
-        # it would spend host->device link bytes every step for nothing
-        batch = {k: v for k, v in batch.items() if k != "question_id"}
+    if isinstance(batch, dict) and HOST_ONLY_KEYS.intersection(batch):
+        batch = {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
