@@ -319,6 +319,121 @@ def import_state_dict(cfg: VoltaConfig, params: Any,
     return new_params, report
 
 
+# ------------------------------------------- reverse export (jax -> torch)
+# share_layer makes the reference register one torch module under two names
+# (reference: volta/encoders.py:208-217 attention, :473-478/:527-532 FF), so
+# its state dict carries v_* alias keys; a strict load_state_dict of an
+# exported dict needs them emitted explicitly.
+_ATTN_ALIASES = (
+    ("attention_self.query", "attention_self.v_query"),
+    ("attention_self.key", "attention_self.v_key"),
+    ("attention_self.value", "attention_self.v_value"),
+    ("attention_output.dense", "attention_output.v_dense"),
+    ("attention_output.LayerNorm", "attention_output.v_LayerNorm"),
+)
+_FF_ALIASES = (
+    ("intermediate.dense", "intermediate.v_dense"),
+    ("output.dense", "output.v_dense"),
+    ("output.LayerNorm", "output.v_LayerNorm"),
+)
+
+
+def export_torch_state_dict(cfg: VoltaConfig, params: Any
+                            ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Inverse of :func:`import_state_dict`: emit a reference-format torch
+    state dict from a Flax param pytree, loadable by the reference models
+    (``volta/encoders.py`` BertModel / BertForVLPreTraining / BertForVLTasks)
+    via ``load_state_dict(strict=True)``.
+
+    Handles the same name mapping in reverse (dense kernels transposed back,
+    LN scale -> ``.weight``), plus the parts the forward importer reads
+    implicitly: the tied MLM decoder weight (``cls.predictions.decoder.weight``
+    = the word-embedding table, reference: volta/encoders.py:686-692) and the
+    ``v_*`` alias keys of shared sublayers. 2-layer V-logit heads (which the
+    reference builds as an anonymous ``nn.Sequential``, encoders.py:1141-1147)
+    are detected by their missing LN leaf and exported under ``clfs_dict.X.{0,3}``
+    instead of ``.logit_fc.{0,2,3}``.
+
+    Returns ``(state_dict, report)``; ``report["unexported"]`` lists any of our
+    param paths with no reference mapping (expected empty).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    # which clf heads are SimpleClassifier (has "ln") vs anonymous Sequential
+    clf_leaves: Dict[str, set] = {}
+    paths = []
+    for path, leaf in flat:
+        names = tuple(p.key for p in path)
+        if names and names[0] == "params":
+            names = names[1:]
+        paths.append((names, leaf))
+        if names[0].startswith("clf_") and len(names) == 3:
+            clf_leaves.setdefault(names[0], set()).add(names[1])
+
+    sd: Dict[str, np.ndarray] = {}
+    unexported = []
+    word_table_key = None
+    for names, leaf in paths:
+        ref = _ref_key(names, cfg, from_hf=False)
+        if ref is None:
+            unexported.append(".".join(names))
+            continue
+        key, kind = ref
+        if ".logit_fc." in key and "ln" not in clf_leaves.get(names[0], ()):
+            key = key.replace(".logit_fc.", ".")  # anonymous Sequential head
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(np.float32)
+        leaf_name = names[-1]
+        if kind == "dense":
+            if leaf_name == "kernel":
+                sd[key + ".weight"] = np.ascontiguousarray(arr.T)
+            else:
+                sd[key + ".bias"] = arr
+        elif kind == "ln":
+            sd[key + (".weight" if leaf_name == "scale" else ".bias")] = arr
+        elif kind in ("embed", "param2d"):
+            sd[key + ".weight"] = arr
+            if key.endswith("embeddings.word_embeddings"):
+                word_table_key = key + ".weight"
+        elif kind == "raw":
+            sd[key] = arr
+        else:  # pragma: no cover - exhaustive kinds above
+            unexported.append(".".join(names))
+
+    # tied MLM decoder (torch registers the shared tensor under both names)
+    if "cls.predictions.bias" in sd and word_table_key is not None:
+        sd["cls.predictions.decoder.weight"] = sd[word_table_key]
+
+    # shared-sublayer aliases
+    prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    for spec in cfg.sublayer_plan():
+        if not spec.share_params:
+            continue
+        aliases = _ATTN_ALIASES if spec.kind == "attn" else _FF_ALIASES
+        base = f"{prefix}encoder.layer.{spec.index}."
+        for src, dst in aliases:
+            for leaf in (".weight", ".bias"):
+                if base + src + leaf in sd:
+                    sd[base + dst + leaf] = sd[base + src + leaf]
+
+    return sd, {"unexported": unexported}
+
+
+def save_torch_checkpoint(path: str, cfg: VoltaConfig, params: Any) -> str:
+    """Write ``export_torch_state_dict`` output as a torch ``.bin`` the
+    reference can load (reference save format: volta/train_utils.py:295-303)."""
+    import torch
+
+    sd, report = export_torch_state_dict(cfg, params)
+    if report["unexported"]:
+        logger.warning("paths without a reference mapping: %s",
+                       report["unexported"])
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+    return path
+
+
 def cached_path(url_or_filename: str,
                 cache_dir: Optional[str] = None) -> str:
     """Resolve a local path, file:// URL, or http(s)/s3 URL to a local file
