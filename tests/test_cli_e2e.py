@@ -149,6 +149,49 @@ def test_resume_from_checkpoint(workdir):
     assert latest_step(os.path.join(run_dir, "ckpt")) >= 12
 
 
+def test_export_torch_checkpoint_cli(workdir):
+    """The exporter CLI reads the orbax `best` checkpoint a training run
+    wrote and emits a torch .bin the reference's BertForVLTasks loads with
+    strict=True (the 'train here, deploy in torch' migration path,
+    reference naming: volta/encoders.py:1117-1155)."""
+    from _reference_oracle import load_reference, reference_available
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import yaml
+
+    tmp = workdir["tmp"]
+    out_dir = os.path.join(tmp, "save")
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    out_bin = os.path.join(tmp, "exported.bin")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import export_torch_checkpoint
+    finally:
+        sys.path.pop(0)
+    argv = ["export_torch_checkpoint.py",
+            "--config_file", workdir["model_cfg"],
+            "--weights", os.path.join(run_dir, "best"),
+            "--out", out_bin,
+            "--tasks_config_file", workdir["task_yml"],
+            "--task", "1",
+            "--seq_len", "12", "--region_len", "6"]
+    with mock.patch.object(sys, "argv", argv):
+        export_torch_checkpoint.main()
+
+    import torch
+
+    ref = load_reference()
+    ref_cfg = ref.config.BertConfig.from_json_file(workdir["model_cfg"])
+    task_cfg = yaml.safe_load(open(workdir["task_yml"]))
+    ref_model = ref.encoders.BertForVLTasks(ref_cfg, task_cfg, ["TASK1"])
+    sd = torch.load(out_bin, map_location="cpu", weights_only=False)
+    ref_model.load_state_dict(sd, strict=True)  # raises on any mismatch
+    # and the trained (non-init) values actually made it across
+    emb = sd["bert.embeddings.word_embeddings.weight"]
+    assert float(emb.abs().sum()) > 0
+
+
 def test_gqa_eval_dump(tmp_path):
     """GQA eval writes {questionId: str, prediction} records through the
     surrogate-index mapping (string question ids can't ride in batches)."""
