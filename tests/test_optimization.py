@@ -219,3 +219,44 @@ def test_adamw_bf16_state_dtype():
     assert any(l.dtype == jnp.bfloat16 for l in leavesb if l.ndim)
     assert ub.dtype == np.float32  # updates stay f32 either way
     np.testing.assert_allclose(u32, ub, rtol=2e-2, atol=1e-5)
+
+
+def test_lr_scales_match_per_group_torch_semantics():
+    """A leaf with lr_scale s must update exactly like a torch AdamW
+    param-group at lr = s * base_lr — including the decoupled decay, which
+    torch multiplies by the group lr (p -= lr_g * (adam_dir + wd * p))."""
+    params = {"trunk": jnp.linspace(0.2, 1.0, 6).astype(jnp.float32),
+              "head": jnp.linspace(-1.0, 1.0, 6).astype(jnp.float32)}
+    g = {"trunk": jnp.linspace(-0.3, 0.3, 6).astype(jnp.float32),
+         "head": jnp.linspace(0.4, -0.4, 6).astype(jnp.float32)}
+    base_lr, s, wd = 1e-2, 0.1, 0.01
+
+    def run(lr, keys, lr_scales=None):
+        p = {k: params[k] for k in keys}
+        tx = build_optimizer("adamw", lambda _: lr, p, weight_decay=wd,
+                             lr_scales=None if lr_scales is None else
+                             {k: lr_scales[k] for k in keys})
+        st = tx.init(p)
+        for _ in range(4):
+            u, st = tx.update({k: g[k] for k in keys}, st, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    scaled = run(base_lr, ("trunk", "head"),
+                 lr_scales={"trunk": s, "head": 1.0})
+    trunk_alone = run(base_lr * s, ("trunk",))
+    head_alone = run(base_lr, ("head",))
+    np.testing.assert_allclose(scaled["trunk"], trunk_alone["trunk"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(scaled["head"], head_alone["head"], rtol=1e-6)
+
+
+def test_lr_scales_from_loaded_paths():
+    from volta_tpu.optimization import lr_scales_from_loaded
+
+    params = {"embeddings": {"word_emb": {"embedding": jnp.zeros(3)}},
+              "clf_1": {"dense": {"kernel": jnp.zeros((2, 2))}}}
+    scales = lr_scales_from_loaded(
+        params, ["embeddings.word_emb.embedding"], 0.1)
+    assert scales["embeddings"]["word_emb"]["embedding"] == 0.1
+    assert scales["clf_1"]["dense"]["kernel"] == 1.0

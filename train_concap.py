@@ -71,6 +71,11 @@ def parse_args():
     p.add_argument("--adam_betas", default=(0.9, 0.98), nargs="+",
                    type=float,
                    help="AdamW betas (reference: train_concap.py:101)")
+    p.add_argument("--trunk_lr_scale", default=1.0, type=float,
+                   help="LR multiplier for params loaded from "
+                        "--from_pretrained (the reference's intended 0.1x "
+                        "trunk rule, train_concap.py:213-224 — dead code "
+                        "there as shipped, so 1.0 = reference behavior)")
     p.add_argument("--weight_decay", default=0.01, type=float)
     p.add_argument("--clip_grad_norm", default=0.0, type=float)
     # TPU-native extras
@@ -161,12 +166,25 @@ def main():
         r, sample["input_ids"], sample["image_feat"], sample["image_loc"],
         sample["segment_ids"], sample["input_mask"],
         sample["image_mask"]))(jax.random.PRNGKey(args.seed))["params"]
+    lr_scales = None
     if args.from_pretrained:
         loaded, report = from_pretrained(cfg, {"params": params},
                                          args.from_pretrained)
         params = loaded["params"]
         logger.info("loaded %d tensors, %d left at init",
                     len(report["loaded"]), len(report["skipped"]))
+        if args.trunk_lr_scale != 1.0:
+            # the reference's INTENDED rule (train_concap.py:213-224, dead
+            # as shipped — see optimization.scale_updates_by): params that
+            # came from the checkpoint train at trunk_lr_scale * lr
+            if report["loaded"] and report["loaded"][0].startswith("<"):
+                raise SystemExit(
+                    "--trunk_lr_scale needs a torch .bin checkpoint (the "
+                    "importer must enumerate which params were loaded); "
+                    f"got {report['loaded'][0]}")
+            from volta_tpu.optimization import lr_scales_from_loaded
+            lr_scales = lr_scales_from_loaded(
+                params, report["loaded"], args.trunk_lr_scale)
     summary_parameters(params)
 
     steps_per_epoch = len(train_loader)
@@ -184,7 +202,8 @@ def main():
                          betas=args.adam_betas, eps=args.adam_epsilon,
                          state_dtype=None
                          if args.optimizer_state_dtype == "float32"
-                         else jax.numpy.bfloat16)
+                         else jax.numpy.bfloat16,
+                         lr_scales=lr_scales)
 
     mesh = make_mesh(n_data=data_parallel_size(per_host_batch))
     state = create_train_state(jax.random.PRNGKey(args.seed + 1), params, tx)

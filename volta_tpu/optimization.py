@@ -244,20 +244,68 @@ def plain_radam(lr, **kw):
     return radam(lr, **kw)
 
 
+# ---------------------------------------------------- per-leaf LR scaling
+def scale_updates_by(scales) -> optax.GradientTransformation:
+    """Per-leaf LR multiplier on the FINAL update (after the optimizer step
+    and the decoupled decay), the optax form of a torch per-param-group
+    ``lr = scale * base_lr``: the group's decay is scaled with it, exactly
+    like torch AdamW's ``p -= lr_g * (adam_dir + wd * p)``.
+
+    Reference intent note: both of the reference's per-param-LR rules are
+    dead code as shipped — train_task.py:211 matches ``"vil_" in key``
+    against BertForVLTasks parameter names that never contain it (the heads
+    live under ``clfs_dict.*``; ``vil_prediction`` is a forward-pass local,
+    volta/encoders.py:1198-1204), and train_concap.py:215 slices
+    ``key[12:]`` (written for a ``"module.bert."`` DDP prefix) on a model
+    that is DDP-wrapped only later (train_concap.py:253), so the sliced
+    names never match ``bert-base-uncased_weight_name.json`` and the 0.1×
+    trunk LR never fires. We default to the as-shipped behavior (no
+    scaling) and expose the *intended* rule via ``--trunk_lr_scale``."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        upd = jax.tree.map(lambda u, s: u * s, updates, scales)
+        return upd, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def lr_scales_from_loaded(params, loaded_paths, scale: float) -> Any:
+    """Pytree of LR multipliers: ``scale`` for leaves whose dot-joined path
+    is in ``loaded_paths`` (the checkpoint importer's report["loaded"]),
+    1.0 elsewhere — the data-driven form of the reference's intended
+    "pretrained trunk at 0.1× LR" rule (train_concap.py:213-224): exactly
+    the parameters that came from the checkpoint train slower."""
+    loaded = set(loaded_paths)
+
+    def decide(path, _):
+        names = [p.key for p in path if hasattr(p, "key")]
+        return scale if ".".join(names) in loaded else 1.0
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 # -------------------------------------------------------------- assembly
 def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
                     clip_norm: Optional[float] = None,
                     grad_accum_steps: int = 1, betas=None,
                     eps: Optional[float] = None,
                     correct_bias: bool = False,
-                    state_dtype=None
+                    state_dtype=None,
+                    lr_scales=None
                     ) -> optax.GradientTransformation:
     """Assemble the full chain: clip -> optimizer(+decay mask) -> accum.
 
     ``betas``/``eps`` override the per-optimizer defaults — the reference
     pretraining CLI runs AdamW at betas (0.9, 0.98)
     (reference: train_concap.py:101,227). ``correct_bias`` only applies to
-    AdamW (pytorch_transformers semantics)."""
+    AdamW (pytorch_transformers semantics). ``lr_scales`` (a pytree of
+    per-leaf multipliers, see :func:`lr_scales_from_loaded`) implements
+    torch-style per-param-group learning rates."""
     mask = no_decay_mask(params)
     kw = {}
     if betas is not None:
@@ -273,6 +321,8 @@ def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
         tx = plain_radam(schedule, weight_decay=weight_decay, mask=mask, **kw)
     else:
         raise ValueError(f"unknown optimizer {name}")
+    if lr_scales is not None:
+        tx = optax.chain(tx, scale_updates_by(lr_scales))
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     if grad_accum_steps > 1:
