@@ -48,7 +48,7 @@ def _parse():
                    action="store_false")
     p.add_argument("--wait_backend_s", type=int,
                    default=int(__import__("os").environ.get(
-                       "VOLTA_BENCH_WAIT_S", "2400")),
+                       "VOLTA_BENCH_WAIT_S", "10800")),
                    help="the axon TPU tunnel has multi-hour outages during "
                         "which in-process backend init hangs ~25 min before "
                         "failing UNAVAILABLE; probe for a live backend in a "
