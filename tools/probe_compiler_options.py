@@ -28,6 +28,13 @@ CANDIDATES = [
     ("base", {}),
     ("vmem32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
     ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    # scheduler / fusion knobs — stage 1 just asks whether the remote
+    # compiler accepts them; only accepted ones are worth a full A/B
+    ("lhs_off", {"xla_latency_hiding_scheduler_rerun": "0"}),
+    ("no_rwb", {"xla_tpu_rwb_fusion": "false"}),
+    ("flash_attn", {"xla_tpu_enable_flash_attention": "true"}),
+    ("async_host", {"xla_tpu_enable_async_host_transfer": "true"}),
+    ("vmem_compute", {"xla_tpu_use_compute_vmem_limit": "true"}),
 ]
 
 
