@@ -212,7 +212,17 @@ def main():
 
     ckpt_dir = os.path.join(output_dir, "ckpt")
     start_epoch = args.start_epoch
-    if args.resume_file or latest_step(ckpt_dir) is not None:
+    if args.resume_file and os.path.isfile(args.resume_file):
+        from volta_tpu.checkpoint import resume_from_torch_tar
+        state, info = resume_from_torch_tar(cfg, state, args.resume_file)
+        start_epoch = info["epoch_id"] + 1 if info["epoch_id"] >= 0 \
+            else int(info["global_step"]) // max(steps_per_epoch, 1)
+        if info["hyperparams"]:
+            logger.info("tar optimizer hyperparams (verify CLI flags "
+                        "match): %s", info["hyperparams"])
+        logger.info("resumed from torch tar at step %d (epoch %d)",
+                    info["global_step"], start_epoch)
+    elif args.resume_file or latest_step(ckpt_dir) is not None:
         state, step = restore_train_state(args.resume_file or ckpt_dir, state)
         start_epoch = int(step) // max(steps_per_epoch, 1)
         logger.info("resumed from step %d (epoch %d)", step, start_epoch)

@@ -202,7 +202,19 @@ def main():
 
     start_epoch = 0
     ckpt_dir = os.path.join(output_dir, "ckpt")
-    if args.resume_file or latest_step(ckpt_dir) is not None:
+    if args.resume_file and os.path.isfile(args.resume_file):
+        # the reference's mid-run bundle (pytorch_ckpt_latest.tar):
+        # weights + optimizer moments + global_step
+        from volta_tpu.checkpoint import resume_from_torch_tar
+        state, info = resume_from_torch_tar(cfg, state, args.resume_file)
+        start_epoch = info["epoch_id"] + 1 if info["epoch_id"] >= 0 \
+            else int(info["global_step"]) // max(steps_per_epoch, 1)
+        if info["hyperparams"]:
+            logger.info("tar optimizer hyperparams (verify CLI flags "
+                        "match): %s", info["hyperparams"])
+        logger.info("resumed from torch tar at step %d (epoch %d)",
+                    info["global_step"], start_epoch)
+    elif args.resume_file or latest_step(ckpt_dir) is not None:
         src = args.resume_file or ckpt_dir
         state, step = restore_train_state(src, state)
         start_epoch = int(step) // max(steps_per_epoch, 1)

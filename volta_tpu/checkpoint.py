@@ -22,6 +22,7 @@ import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import VoltaConfig
@@ -432,6 +433,200 @@ def save_torch_checkpoint(path: str, cfg: VoltaConfig, params: Any) -> str:
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, path)
     return path
+
+
+# ------------------------------------- mid-run resume from a reference tar
+def _tolerant_torch_load(path: str):
+    """``torch.load`` that survives unknown classes: the reference's
+    ``pytorch_ckpt_latest.tar`` embeds its live ``tbLogger`` object
+    (volta/train_utils.py:305-317), whose class only exists when the
+    reference package is importable — unpickle such objects as opaque
+    stubs instead of failing."""
+    import pickle
+
+    import torch
+
+    class _Opaque:
+        def __init__(self, *a, **k):
+            pass
+
+        def __setstate__(self, state):
+            self.__dict__["_opaque_state"] = state
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except Exception:  # noqa: BLE001 - any unimportable class
+                return _Opaque
+
+    shim = type("pickle_shim", (), {"Unpickler": _Unpickler,
+                                    "load": staticmethod(pickle.load)})
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=shim)
+
+
+_NO_DECAY_REF = ("bias", "LayerNorm.bias", "LayerNorm.weight")
+
+
+def _alias_key_set(cfg: VoltaConfig, sd: Dict[str, Any]) -> set:
+    """State-dict keys that are second names of a shared tensor — the keys
+    ``named_parameters()`` (which the reference's optimizer grouping loops
+    iterate) deduplicates away: the tied MLM decoder weight and the
+    share_layer ``v_*`` aliases (see export_torch_state_dict)."""
+    keys = set()
+    if "cls.predictions.decoder.weight" in sd:
+        keys.add("cls.predictions.decoder.weight")
+    prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    for spec in cfg.sublayer_plan():
+        if not spec.share_params:
+            continue
+        aliases = _ATTN_ALIASES if spec.kind == "attn" else _FF_ALIASES
+        base = f"{prefix}encoder.layer.{spec.index}."
+        for _, dst in aliases:
+            for leaf in (".weight", ".bias"):
+                if base + dst + leaf in sd:
+                    keys.add(base + dst + leaf)
+    return keys
+
+
+def _normalize_keys(raw: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in raw.items():
+        k = re.sub(r"^module\.", "", k)
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[k] = np.asarray(v.detach().cpu().numpy()) \
+            if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _optimizer_index_to_name(cfg: VoltaConfig, msd: Dict[str, np.ndarray],
+                             param_groups) -> Dict[int, str]:
+    """Reconstruct which parameter each torch optimizer-state index refers
+    to. torch assigns indices by flat enumeration over the param groups;
+    the groups were built from ``named_parameters()`` — whose order equals
+    the state-dict key order minus shared-tensor aliases (no buffers exist
+    in the reference models) — filtered by ``requires_grad`` (freeze_layers
+    substring matching on config.fixed_layers, volta/train_utils.py:250-255)
+    and partitioned by the grouping scheme:
+      * one param per group (train_task.py:208-218, the pretrained branch
+        of train_concap.py:212-224): named order as-is;
+      * two groups (train_concap.py:204-210): all decay params first, then
+        all no-decay, each in named order."""
+    named = [k for k in msd if k not in _alias_key_set(cfg, msd)]
+    fixed = tuple(getattr(cfg, "fixed_layers", None) or ())
+    if fixed:
+        named = [k for k in named if not any(f in k for f in fixed)]
+    if param_groups and all(len(g["params"]) == 1 for g in param_groups):
+        order = named
+    elif len(param_groups) == 2:
+        nd = lambda k: any(s in k for s in _NO_DECAY_REF)  # noqa: E731
+        order = [k for k in named if not nd(k)] + \
+                [k for k in named if nd(k)]
+    else:
+        raise ValueError(
+            f"unrecognized param_groups layout ({len(param_groups)} groups "
+            f"with sizes {[len(g['params']) for g in param_groups]})")
+    flat_idx = [i for g in param_groups for i in g["params"]]
+    if len(flat_idx) != len(order):
+        raise ValueError(
+            f"optimizer indexes {len(flat_idx)} params but the state dict "
+            f"implies {len(order)} trainable params — fixed_layers or "
+            f"grouping mismatch")
+    return dict(zip(flat_idx, order))
+
+
+def _replace_moment_states(opt_state, mu, nu, count: int):
+    """Substitute imported first/second moments into an optax state tree
+    (handles our chain/clip/MultiSteps nesting by recursing through
+    tuples/namedtuples)."""
+    import optax
+
+    from .optimization import _AdamState, _RAdamState
+
+    def cast_like(tmpl, tree):
+        return jax.tree.map(
+            lambda t, v: jnp.asarray(v, dtype=t.dtype), tmpl, tree)
+
+    def rec(node):
+        if isinstance(node, _AdamState):
+            return _AdamState(cast_like(node.mu, mu),
+                              cast_like(node.nu, nu))
+        if isinstance(node, _RAdamState):
+            return _RAdamState(jnp.asarray(count, node.count.dtype),
+                               cast_like(node.mu, mu),
+                               cast_like(node.nu, nu))
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                jnp.asarray(count, node.count.dtype),
+                cast_like(node.mu, mu), cast_like(node.nu, nu))
+        if isinstance(node, tuple):
+            vals = [rec(x) for x in node]
+            return type(node)(*vals) if hasattr(node, "_fields") \
+                else tuple(vals)
+        return node
+
+    return rec(opt_state)
+
+
+def resume_from_torch_tar(cfg: VoltaConfig, state, path: str):
+    """Resume a volta_tpu train state mid-run from the reference's
+    ``pytorch_ckpt_latest.tar`` (written by volta/train_utils.py:295-317,
+    consumed by its resume() at :319-340): model weights through the
+    importer, AdamW/RAdam first+second moments mapped per parameter
+    (transposed alongside their dense kernels), and ``global_step`` into
+    ``state.step`` — the warmup/decay schedule position follows from it.
+
+    Returns ``(state, info)`` with info holding global_step / epoch_id /
+    score / the tar's optimizer hyperparameters (caller should warn if its
+    CLI hyperparameters differ — the tar does not configure us)."""
+    obj = _tolerant_torch_load(path)
+    if "model_state_dict" not in obj:
+        raise ValueError(f"{path} has no model_state_dict — not a "
+                         "reference checkpoint tar")
+    msd = _normalize_keys(obj["model_state_dict"])
+    new_vars, report = import_state_dict(cfg, {"params": state.params}, msd)
+    if report["skipped"]:
+        logger.warning("tar resume: %d params kept their current values: "
+                       "%s...", len(report["skipped"]),
+                       report["skipped"][:5])
+    new_params = new_vars["params"]
+
+    osd = obj.get("optimizer_state_dict") or {}
+    opt_entries = osd.get("state") or {}
+    new_opt = state.opt_state
+    info = {"global_step": int(obj.get("global_step", 0)),
+            "epoch_id": int(obj.get("epoch_id", -1)),
+            "score": obj.get("score"),
+            "hyperparams": {}}
+    if opt_entries:
+        idx2name = _optimizer_index_to_name(cfg, msd,
+                                            osd.get("param_groups", []))
+        mu_sd, nu_sd, steps = {}, {}, [0]
+        for i, entry in opt_entries.items():
+            name = idx2name[int(i)]
+            mu_sd[name] = np.asarray(entry["exp_avg"])
+            nu_sd[name] = np.asarray(entry["exp_avg_sq"])
+            if "step" in entry:
+                steps.append(int(entry["step"]))
+        zeros = jax.tree.map(lambda p: np.zeros_like(np.asarray(p)),
+                             state.params)
+        mu_tree, mu_rep = import_state_dict(cfg, zeros, mu_sd)
+        nu_tree, _ = import_state_dict(cfg, zeros, nu_sd)
+        if mu_rep["unused"]:
+            raise ValueError(
+                f"optimizer moments with no parameter mapping: "
+                f"{mu_rep['unused'][:5]}")
+        new_opt = _replace_moment_states(state.opt_state, mu_tree, nu_tree,
+                                         max(steps))
+        g0 = (osd.get("param_groups") or [{}])[0]
+        info["hyperparams"] = {k: g0[k] for k in
+                               ("lr", "betas", "eps", "weight_decay",
+                                "correct_bias") if k in g0}
+    state = state.replace(
+        step=jnp.asarray(info["global_step"], state.step.dtype),
+        params=new_params, opt_state=new_opt)
+    return state, info
 
 
 def cached_path(url_or_filename: str,
