@@ -26,14 +26,25 @@ def load_reference():
     if "volta" in sys.modules:
         return sys.modules["volta"]
 
+    def _stub(name: str, package: bool = False) -> types.ModuleType:
+        # give stubs a real ModuleSpec: importlib.util.find_spec raises
+        # ValueError on modules with __spec__ None, which breaks later
+        # `accelerate`/`transformers` imports probing for boto3
+        import importlib.machinery
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        if package:
+            mod.__path__ = []
+            mod.__spec__.submodule_search_locations = []
+        return mod
+
     if "boto3" not in sys.modules:
-        sys.modules["boto3"] = types.ModuleType("boto3")
+        sys.modules["boto3"] = _stub("boto3")
     if "requests" not in sys.modules:
-        sys.modules["requests"] = types.ModuleType("requests")
+        sys.modules["requests"] = _stub("requests")
     if "botocore" not in sys.modules:
-        botocore = types.ModuleType("botocore")
-        botocore.__path__ = []  # make it a package so submodule import works
-        exceptions = types.ModuleType("botocore.exceptions")
+        botocore = _stub("botocore", package=True)
+        exceptions = _stub("botocore.exceptions")
 
         class ClientError(Exception):
             pass
@@ -43,13 +54,24 @@ def load_reference():
         sys.modules["botocore"] = botocore
         sys.modules["botocore.exceptions"] = exceptions
 
-    if REFERENCE_ROOT not in sys.path:
+    # import the reference package, then take its root OFF sys.path again:
+    # the reference repo root also holds train_task.py / train_concap.py /
+    # eval_task.py / eval_retrieval.py, which would shadow OUR root-level
+    # CLI modules for every later `import train_concap` in the test
+    # process. Submodules of the already-imported `volta` package resolve
+    # through volta.__path__, not sys.path, so nothing else needs it.
+    added = REFERENCE_ROOT not in sys.path
+    if added:
         sys.path.insert(0, REFERENCE_ROOT)
-    import torch
-    import volta  # noqa: F401  (the reference package)
-    import volta.config  # noqa: F401
-    import volta.encoders  # noqa: F401
-    import volta.losses  # noqa: F401
+    try:
+        import torch
+        import volta  # noqa: F401  (the reference package)
+        import volta.config  # noqa: F401
+        import volta.encoders  # noqa: F401
+        import volta.losses  # noqa: F401
+    finally:
+        if added:
+            sys.path.remove(REFERENCE_ROOT)
 
     if not torch.cuda.is_available():
         # the reference hardcodes torch.zeros(1).cuda() on its zero-loss
