@@ -218,3 +218,77 @@ def test_resume_from_reference_tar(tmp_path, grouping):
         np.testing.assert_allclose(
             np.asarray(leaf_o), np.asarray(leaf_r), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_radam_tar_moments_land_transposed(tmp_path):
+    """No reference needed: a synthetic RAdam tar (same state keys as
+    volta/optimization.py:38-40) restores into our _RAdamState — dense
+    kernels' moments transposed alongside their weights, count = step."""
+    from volta_tpu import zoo
+    from volta_tpu.checkpoint import export_torch_state_dict, \
+        _alias_key_set
+    from volta_tpu.optimization import _RAdamState
+    from volta_tpu.models import VoltaModel
+
+    cfg = zoo.single_stream(
+        "uniter", depth=2, hidden_size=32, num_attention_heads=4,
+        intermediate_size=48, pooler_size=32, v_pooler_size=32,
+        vocab_size=19, max_position_embeddings=32, v_feature_size=16,
+        v_hidden_size=32, v_num_attention_heads=4, v_intermediate_size=48,
+        use_pallas=False)
+    model = VoltaModel(cfg)
+    b, L, R = 2, 8, 5
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((b, L), np.int32),
+        np.zeros((b, R, 16), np.float32), np.zeros((b, R, 5), np.float32),
+        np.zeros((b, L), np.int32), np.ones((b, L), np.int32),
+        np.ones((b, R), np.int32))
+    params = variables["params"]
+    msd, _ = export_torch_state_dict(cfg, params)
+
+    rng = np.random.RandomState(3)
+    named = [k for k in msd if k not in _alias_key_set(cfg, msd)]
+    state, groups = {}, []
+    moments = {}
+    for i, n in enumerate(named):
+        m = rng.randn(*msd[n].shape).astype(np.float32)
+        v = np.abs(rng.randn(*msd[n].shape)).astype(np.float32)
+        moments[n] = (m, v)
+        state[i] = {"step": 7, "exp_avg": torch.from_numpy(m),
+                    "exp_avg_sq": torch.from_numpy(v)}
+        groups.append({"lr": 1e-3, "weight_decay": 0.0, "params": [i]})
+    tar = str(tmp_path / "radam.tar")
+    torch.save({"model_state_dict":
+                {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in msd.items()},
+                "optimizer_state_dict": {"state": state,
+                                         "param_groups": groups},
+                "global_step": 7, "epoch_id": 2}, tar)
+
+    tx = build_optimizer("radam", 1e-3, params, weight_decay=0.0)
+    st = create_train_state(jax.random.PRNGKey(1), params, tx)
+    st, info = resume_from_torch_tar(cfg, st, tar)
+    assert int(st.step) == 7 and info["epoch_id"] == 2
+
+    def find_radam(node):
+        if isinstance(node, _RAdamState):
+            return node
+        if isinstance(node, tuple):
+            for x in node:
+                r = find_radam(x)
+                if r is not None:
+                    return r
+        return None
+
+    rstate = find_radam(st.opt_state)
+    assert rstate is not None
+    assert int(rstate.count) == 7
+    # a dense kernel: torch stores [out,in]; our kernel (and so its
+    # moments) is [in,out]
+    key = "encoder.layer.0.attention_self.query.weight"
+    mu_leaf = np.asarray(
+        rstate.mu["encoder"]["attn_0"]["query"]["kernel"])
+    np.testing.assert_array_equal(mu_leaf, moments[key][0].T)
+    nu_leaf = np.asarray(
+        rstate.nu["encoder"]["attn_0"]["query"]["kernel"])
+    np.testing.assert_array_equal(nu_leaf, moments[key][1].T)
