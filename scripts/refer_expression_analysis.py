@@ -19,17 +19,27 @@ import re
 from collections import Counter
 
 _TOKEN = re.compile(r"[a-z]+")
+_POS_TAGGER = None  # resolved once: nltk.pos_tag, or False when unusable
+
+
+def _pos_tag():
+    global _POS_TAGGER
+    if _POS_TAGGER is None:
+        try:  # probe once — per-caption retries would re-pay tagger setup
+            import nltk
+            nltk.pos_tag(["probe"])
+            _POS_TAGGER = nltk.pos_tag
+        except Exception:  # noqa: BLE001 - nltk/tagger data absent
+            _POS_TAGGER = False
+    return _POS_TAGGER
 
 
 def tokenize(text):
     toks = _TOKEN.findall(text.lower())
-    try:  # POS-filter to content words when nltk has the tagger data
-        import nltk
-        tags = nltk.pos_tag(toks)
+    tagger = _pos_tag()
+    if tagger:  # POS-filter to content words when the tagger is usable
         keep = {"NN", "NNS", "JJ", "JJR", "JJS", "VB", "VBD", "VBG", "VBN"}
-        toks = [w for w, t in tags if t in keep] or toks
-    except Exception:  # noqa: BLE001 - tagger data absent: plain tokens
-        pass
+        toks = [w for w, t in tagger(toks) if t in keep] or toks
     return toks
 
 

@@ -88,6 +88,10 @@ def main():
 
     if args.compare:
         cmp_res = load_results(args.compare)
+        if len(cmp_res) != len(res):
+            raise SystemExit(
+                f"--compare has {len(cmp_res)} captions but --result has "
+                f"{len(res)} — the runs cover different splits")
         cmp_rec, cmp_ranks = recalls(cmp_res, cpi)
         print(f"{args.compare}: " +
               ", ".join(f"{k}={v:.2f}" for k, v in cmp_rec.items()))

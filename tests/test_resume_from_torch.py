@@ -34,15 +34,14 @@ from volta_tpu.checkpoint import import_state_dict, resume_from_torch_tar
 from volta_tpu.config import VoltaConfig
 from volta_tpu.losses import pretraining_losses
 from volta_tpu.models import VoltaForVLPreTraining
-from volta_tpu.optimization import build_optimizer
+from volta_tpu.optimization import build_optimizer, warmup_linear_schedule
 from volta_tpu.parallel.train_step import _strip_global, create_train_state
 
 from _reference_oracle import load_reference, randomize_state_dict, \
     reference_available
 from test_reference_parity import (CONFIG_NAMES, _pretrain_labels,
                                    make_inputs, reduced_cfg_dict, to_torch)
-from test_train_parity import (BETAS, CLIP, EPS, LR, NO_DECAY, WD, _batch,
-                               _torch_adamw_step)
+from test_train_parity import BETAS, CLIP, EPS, LR, NO_DECAY, WD, _batch
 
 torch = pytest.importorskip("torch")
 pytestmark = pytest.mark.skipif(not reference_available(),
@@ -50,6 +49,27 @@ pytestmark = pytest.mark.skipif(not reference_available(),
 
 STEPS_BEFORE = 3
 STEPS_AFTER = 2
+# a REAL schedule, not a constant: resume must restore the schedule
+# position too (optax's scale_by_schedule count) — warmup ends mid-way
+# through the pre-tar steps, so a reset-to-0 count would replay warmup
+# (first post-resume update = schedule(0) = 0.0) and fail the trajectory
+SCHEDULE = warmup_linear_schedule(LR, warmup_steps=2, total_steps=20)
+
+
+def _torch_adamw_step_lr(named_params, state, lr):
+    """_torch_adamw_step with an explicit per-step learning rate."""
+    with torch.no_grad():
+        for name, p in named_params:
+            if p.grad is None:
+                continue
+            m, v = state.setdefault(
+                name, (torch.zeros_like(p), torch.zeros_like(p)))
+            g = p.grad
+            m.mul_(BETAS[0]).add_(g, alpha=1 - BETAS[0])
+            v.mul_(BETAS[1]).addcmul_(g, g, value=1 - BETAS[1])
+            p.add_(m / (v.sqrt() + EPS), alpha=-lr)
+            if not any(nd in name for nd in NO_DECAY):
+                p.add_(p, alpha=-lr * WD)
 
 
 def _torch_optimizer_state_dict(named_params, adam_state, grouping):
@@ -121,6 +141,8 @@ def test_resume_from_reference_tar(tmp_path, grouping):
     lt = lambda x: torch.tensor(x)  # noqa: E731
     tb = to_torch(*inputs)
 
+    opt_step = [0]
+
     def torch_step(adam_state):
         ref_model.zero_grad()
         mlm, img, itm = ref_model(
@@ -135,7 +157,9 @@ def test_resume_from_reference_tar(tmp_path, grouping):
         loss = mlm + img + itm
         loss.backward()
         torch.nn.utils.clip_grad_norm_(ref_model.parameters(), CLIP)
-        _torch_adamw_step(list(ref_model.named_parameters()), adam_state)
+        _torch_adamw_step_lr(list(ref_model.named_parameters()), adam_state,
+                             float(SCHEDULE(opt_step[0])))
+        opt_step[0] += 1
         return float(loss.detach())
 
     adam_state = {}
@@ -163,7 +187,7 @@ def test_resume_from_reference_tar(tmp_path, grouping):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
                                     types_, t_mask, v_mask)
     params = variables["params"]
-    tx = build_optimizer("adamw", LR, params, weight_decay=WD,
+    tx = build_optimizer("adamw", SCHEDULE, params, weight_decay=WD,
                          clip_norm=CLIP, betas=BETAS, eps=EPS,
                          correct_bias=False)
     state = create_train_state(jax.random.PRNGKey(1), params, tx)

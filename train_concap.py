@@ -167,6 +167,9 @@ def main():
         sample["segment_ids"], sample["input_mask"],
         sample["image_mask"]))(jax.random.PRNGKey(args.seed))["params"]
     lr_scales = None
+    if args.trunk_lr_scale != 1.0 and not args.from_pretrained:
+        raise SystemExit("--trunk_lr_scale scales the params loaded from "
+                         "--from_pretrained, which was not given")
     if args.from_pretrained:
         loaded, report = from_pretrained(cfg, {"params": params},
                                          args.from_pretrained)

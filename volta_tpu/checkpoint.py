@@ -40,13 +40,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         obj = obj["model_state_dict"]
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    out = {}
-    for k, v in obj.items():
-        k = re.sub(r"^module\.", "", k)  # DDP prefix strip
-        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
-        out[k] = np.asarray(v.detach().cpu().numpy()) \
-            if hasattr(v, "detach") else np.asarray(v)
-    return out
+    return _normalize_keys(obj)
 
 
 # ------------------------------------------------------- name derivation
@@ -491,6 +485,8 @@ def _alias_key_set(cfg: VoltaConfig, sd: Dict[str, Any]) -> set:
 
 
 def _normalize_keys(raw: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """DDP-prefix strip + gamma/beta renames + tensor->numpy (shared by
+    load_torch_state_dict and the tar-resume path)."""
     out = {}
     for k, v in raw.items():
         k = re.sub(r"^module\.", "", k)
@@ -534,6 +530,26 @@ def _optimizer_index_to_name(cfg: VoltaConfig, msd: Dict[str, np.ndarray],
             f"implies {len(order)} trainable params — fixed_layers or "
             f"grouping mismatch")
     return dict(zip(flat_idx, order))
+
+
+def _set_schedule_counts(opt_state, step: int):
+    """Advance every LR-schedule counter to ``step``: optax wraps a callable
+    learning rate in scale_by_schedule with its own count, which starts at 0
+    on a fresh ``tx.init`` — without this, a resumed run re-executes the
+    warmup ramp (first post-resume update = schedule(0) = 0.0)."""
+    import optax
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, node.count.dtype))
+        if isinstance(node, tuple):
+            vals = [rec(x) for x in node]
+            return type(node)(*vals) if hasattr(node, "_fields") \
+                else tuple(vals)
+        return node
+
+    return rec(opt_state)
 
 
 def _replace_moment_states(opt_state, mu, nu, count: int):
@@ -623,6 +639,7 @@ def resume_from_torch_tar(cfg: VoltaConfig, state, path: str):
         info["hyperparams"] = {k: g0[k] for k in
                                ("lr", "betas", "eps", "weight_decay",
                                 "correct_bias") if k in g0}
+    new_opt = _set_schedule_counts(new_opt, info["global_step"])
     state = state.replace(
         step=jnp.asarray(info["global_step"], state.step.dtype),
         params=new_params, opt_state=new_opt)
