@@ -185,6 +185,11 @@ def write(path: str, items, psize: int = 4096, subdir: bool = False) -> None:
     Bulk bottom-up build: leaves first, then branch levels, finally the two
     meta pages. Values too large for half a page go to overflow pages.
     """
+    # coerce keys to bytes BEFORE sorting: the reader binary-searches in
+    # byte order, and native-type order disagrees with it (e.g. ints
+    # 2 < 10 but b"10" < b"2")
+    items = [(k if isinstance(k, bytes) else str(k).encode(), v)
+             for k, v in items]
     items = sorted(items, key=lambda kv: kv[0])
     pages: List[bytes] = [b"", b""]  # meta placeholders (pgno 0 and 1)
     next_pgno = 2
@@ -221,8 +226,6 @@ def write(path: str, items, psize: int = 4096, subdir: bool = False) -> None:
     overflow_chunks: List[Tuple[int, bytes]] = []
 
     for key, val in items:
-        if not isinstance(key, bytes):
-            key = str(key).encode()
         if not isinstance(val, bytes):
             val = bytes(val)
         if len(val) > max_inline:
