@@ -316,3 +316,69 @@ def test_radam_tar_moments_land_transposed(tmp_path):
     nu_leaf = np.asarray(
         rstate.nu["encoder"]["attn_0"]["query"]["kernel"])
     np.testing.assert_array_equal(nu_leaf, moments[key][1].T)
+
+
+def test_tar_resume_reaches_state_inside_multisteps(tmp_path):
+    """Moments and the schedule count must be restored through the
+    optax.MultiSteps wrapper grad accumulation adds."""
+    from volta_tpu import zoo
+    from volta_tpu.checkpoint import export_torch_state_dict, \
+        _alias_key_set
+    from volta_tpu.optimization import _AdamState, warmup_linear_schedule
+    from volta_tpu.models import VoltaModel
+
+    cfg = zoo.single_stream(
+        "uniter", depth=1, hidden_size=32, num_attention_heads=4,
+        intermediate_size=48, pooler_size=32, v_pooler_size=32,
+        vocab_size=19, max_position_embeddings=32, v_feature_size=16,
+        v_hidden_size=32, v_num_attention_heads=4, v_intermediate_size=48,
+        use_pallas=False)
+    model = VoltaModel(cfg)
+    b, L, R = 2, 8, 5
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((b, L), np.int32),
+        np.zeros((b, R, 16), np.float32), np.zeros((b, R, 5), np.float32),
+        np.zeros((b, L), np.int32), np.ones((b, L), np.int32),
+        np.ones((b, R), np.int32))
+    params = variables["params"]
+    msd, _ = export_torch_state_dict(cfg, params)
+    named = [k for k in msd if k not in _alias_key_set(cfg, msd)]
+    state = {i: {"step": 11,
+                 "exp_avg": torch.from_numpy(
+                     np.full(msd[n].shape, 0.5, np.float32)),
+                 "exp_avg_sq": torch.from_numpy(
+                     np.full(msd[n].shape, 0.25, np.float32))}
+             for i, n in enumerate(named)}
+    groups = [{"lr": 1e-3, "weight_decay": 0.0, "params": [i]}
+              for i in range(len(named))]
+    tar = str(tmp_path / "accum.tar")
+    torch.save({"model_state_dict":
+                {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in msd.items()},
+                "optimizer_state_dict": {"state": state,
+                                         "param_groups": groups},
+                "global_step": 11, "epoch_id": 3}, tar)
+
+    sched = warmup_linear_schedule(1e-3, 4, 100)
+    tx = build_optimizer("adamw", sched, params, weight_decay=0.01,
+                         clip_norm=1.0, grad_accum_steps=2)
+    st = create_train_state(jax.random.PRNGKey(1), params, tx)
+    st, info = resume_from_torch_tar(cfg, st, tar)
+    assert int(st.step) == 11
+
+    found_adam, found_sched = [], []
+
+    def walk(node):
+        if isinstance(node, _AdamState):
+            found_adam.append(node)
+        if isinstance(node, optax.ScaleByScheduleState):
+            found_sched.append(node)
+        if isinstance(node, tuple):
+            for x in node:
+                walk(x)
+
+    walk(st.opt_state)
+    assert found_adam and found_sched
+    mu_leaf = jax.tree_util.tree_leaves(found_adam[0].mu)[0]
+    assert float(np.asarray(mu_leaf).ravel()[0]) == 0.5
+    assert all(int(s.count) == 11 for s in found_sched)
