@@ -46,6 +46,10 @@ def _parse():
                         "(default ON — this host's device link is ~25 MB/s)")
     p.add_argument("--no_device_store", dest="device_store",
                    action="store_false")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="double-buffer N batches of async device_put ahead "
+                        "of the step dispatch in the loader-in-loop bench "
+                        "(0 = issue-then-step, the measured default)")
     p.add_argument("--wait_backend_s", type=int,
                    default=int(__import__("os").environ.get(
                        "VOLTA_BENCH_WAIT_S", "10800")),
@@ -166,11 +170,29 @@ def _bench_with_data(args, pieces, state, mesh, shard_batch, b):
     float(m["loss"])
     n = 0
     t0 = time.perf_counter()
-    for hb in it:
-        state, m = step(state, shard_batch(mesh, hb))
-        n += 1
-        if n >= args.data_steps:
-            break
+    if args.prefetch > 0:
+        # double-buffer: issue batch k+1's async device_put before
+        # dispatching step k, so the host->device wire rides under the
+        # step instead of in front of it
+        from collections import deque
+        q = deque()
+        for hb in it:
+            q.append(shard_batch(mesh, hb))
+            if len(q) <= args.prefetch:
+                continue
+            state, m = step(state, q.popleft())
+            n += 1
+            if n >= args.data_steps:
+                break
+        while n < args.data_steps and q:
+            state, m = step(state, q.popleft())
+            n += 1
+    else:
+        for hb in it:
+            state, m = step(state, shard_batch(mesh, hb))
+            n += 1
+            if n >= args.data_steps:
+                break
     _ = float(m["loss"])
     dt = time.perf_counter() - t0
     rate = b * n / dt
