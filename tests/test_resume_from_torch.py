@@ -139,12 +139,13 @@ def test_resume_from_reference_tar(tmp_path, grouping):
     labels, mlm_labels, itm_labels = _pretrain_labels(d, rng)
     batch = _batch(d, inputs, labels, mlm_labels, itm_labels)
     lt = lambda x: torch.tensor(x)  # noqa: E731
-    tb = to_torch(*inputs)
 
     opt_step = [0]
 
     def torch_step(adam_state):
         ref_model.zero_grad()
+        # fresh tensors per step (VL-BERT-style in-place input mutation)
+        tb = to_torch(*inputs)
         mlm, img, itm = ref_model(
             *tb, masked_lm_labels=lt(mlm_labels),
             image_label=lt(labels["image_label"]),

@@ -161,12 +161,16 @@ def test_pretrain_train_step_parity(name):
 
     # ---- reference side: backward + clip + AdamW ---------------------------
     lt = lambda x: torch.tensor(x)  # noqa: E731
-    tb = to_torch(*inputs)
     torch_opt_state = {}
     theirs = []
     clipped = False
     for _ in range(STEPS):
         ref_model.zero_grad()
+        # fresh input tensors EVERY step, like a real dataloader: VL-BERT's
+        # embeddings write a parameter into image_feat in-place
+        # (volta/embeddings.py:243-244), so reusing one batch would chain
+        # step k's autograd graph into step k+1 ("backward a second time")
+        tb = to_torch(*inputs)
         mlm, img, itm = ref_model(
             *tb, masked_lm_labels=lt(mlm_labels),
             image_label=lt(labels["image_label"]),
@@ -237,6 +241,12 @@ def test_finetune_train_step_parity(name, optim):
 
     ref = load_reference()
     d = reduced_cfg_dict(name)
+    if d.get("fusion_method") == "none":
+        # vl-bert_base ships fusion "none", unusable with a pooled-input
+        # head (the reference's clfs_dict(None) would crash); its task
+        # configs override per task (config_tasks/vl-bert_trainval_tasks
+        # .yml:21, applied by train_task.py:144-146) — do the same
+        d = dict(d, fusion_method="vl-bert_vqa")
     ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
     seed = 7100 + CONFIG_NAMES.index(name)
     torch.manual_seed(seed)
@@ -247,6 +257,16 @@ def test_finetune_train_step_parity(name, optim):
     rng = np.random.RandomState(41)
     inputs = make_inputs(d, seed=29)
     ids, feats, locs, types, t_mask, v_mask = inputs
+    # real batches carry all-zero (padded / [MASK]ed) feature rows; VL-BERT
+    # writes its mask embeddings into exactly those rows
+    # (volta/embeddings.py:243-244,262-263), so give it one to keep those
+    # parameters genuinely in the training graph on both sides — a MIDDLE
+    # row, because the last row's linguistic write is overwritten by
+    # end_embedding (embeddings.py:265-266) and would leave
+    # object_mask_word_embedding at zero grad anyway
+    feats = feats.copy()
+    feats[:, 1, :] = 0.0
+    inputs = (ids, feats, locs, types, t_mask, v_mask)
     target = rng.rand(ids.shape[0], 13).astype(np.float32)
     batch = dict(question=ids, features=feats, spatials=locs,
                  segment_ids=types, input_mask=t_mask, image_mask=v_mask,
@@ -259,9 +279,13 @@ def test_finetune_train_step_parity(name, optim):
     variables, report = import_state_dict(cfg, variables, sd)
     assert not report["skipped"], report["skipped"]
     params = variables["params"]
+    # skip_disconnected_params: torch never updates OR decays params its
+    # autograd graph doesn't reach — in LXMERT fine-tuning the post-cross
+    # vision tail (vv-attn 31 / v-FF 32) is loss-disconnected (grad None),
+    # so reference-exact comparison needs the same skip semantics
     tx = build_optimizer(optim, LR, params, weight_decay=WD,
                          clip_norm=FT_CLIP, betas=BETAS, eps=EPS,
-                         correct_bias=False)
+                         correct_bias=False, skip_disconnected_params=True)
     steps = 8 if optim == "radam" else STEPS
     tc = FT_TASK["VQA"]
 
@@ -287,7 +311,6 @@ def test_finetune_train_step_parity(name, optim):
         params, opt_state, loss = train_step(params, opt_state)
         ours.append(float(loss))
 
-    tb = to_torch(*inputs)
     t_target = torch.tensor(target)
     criterion = torch.nn.BCEWithLogitsLoss(reduction="mean")
     torch_opt_state = {}
@@ -299,6 +322,9 @@ def test_finetune_train_step_parity(name, optim):
     clipped = False
     for _ in range(steps):
         ref_model.zero_grad()
+        # fresh tensors per step — VL-BERT mutates image_feat in-place
+        # (see the pretrain loop note)
+        tb = to_torch(*inputs)
         pred, _, _, _ = ref_model(tb[0], tb[1], tb[2], "VQA", tb[3], tb[4],
                                   tb[5].float())
         loss = criterion(pred, t_target).mean() * t_target.size(1)

@@ -75,6 +75,12 @@ def parse_args():
                         "scale; moments still update in float32)")
     p.add_argument("--weight_decay", default=0.01, type=float)
     p.add_argument("--clip_grad_norm", default=0.0, type=float)
+    p.add_argument("--skip_disconnected_params", action="store_true",
+                   help="torch-exact handling of loss-disconnected params "
+                        "(grad None there, e.g. LXMERT's post-cross vision "
+                        "tail in fine-tuning): no update AND no decay, "
+                        "instead of decaying zero-grad params (see "
+                        "optimization.skip_disconnected)")
     # TPU-native extras
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -190,7 +196,8 @@ def main():
                          correct_bias=args.adam_correct_bias,
                          state_dtype=None
                          if args.optimizer_state_dtype == "float32"
-                         else jax.numpy.bfloat16)
+                         else jax.numpy.bfloat16,
+                         skip_disconnected_params=args.skip_disconnected_params)
     tx = apply_freeze(tx, params, cfg.fixed_layers)
 
     # nlvr doubles the row count inside the step, so any divisor of the

@@ -289,6 +289,38 @@ def lr_scales_from_loaded(params, loaded_paths, scale: float) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def skip_disconnected(inner: optax.GradientTransformation
+                      ) -> optax.GradientTransformation:
+    """torch optimizers silently SKIP parameters autograd never reached
+    (``p.grad is None`` -> no Adam step and no decoupled weight decay).
+    The reference models do produce such parameters — e.g. LXMERT
+    fine-tuning never routes the loss through the post-cross vision tail
+    (vv-attention 31 / v-FF 32), so those weights stay at their initial
+    values forever under the reference trainer, while a mask-less optax
+    chain would still weight-decay them ~0.01%/step.
+
+    This wrapper zeroes the FINAL update (decay included) of any parameter
+    whose incoming gradient tensor is identically zero — the jax-side
+    signature of graph disconnection (connected params in these models
+    always have some nonzero element; there are no hard-zero
+    nonlinearities). Off by default: it deviates from torch only in the
+    measure-zero case of a *connected* whole-tensor-zero gradient, but we
+    keep the simpler semantics unless reference-exactness is requested
+    (--skip_disconnected_params / tests/test_train_parity.py)."""
+
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None):
+        mask = jax.tree.map(
+            lambda g: (jnp.sum(jnp.abs(g)) > 0).astype(g.dtype), grads)
+        upd, state = inner.update(grads, state, params)
+        upd = jax.tree.map(lambda u, m: u * m, upd, mask)
+        return upd, state
+
+    return optax.GradientTransformation(init, update)
+
+
 # -------------------------------------------------------------- assembly
 def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
                     clip_norm: Optional[float] = None,
@@ -296,7 +328,8 @@ def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
                     eps: Optional[float] = None,
                     correct_bias: bool = False,
                     state_dtype=None,
-                    lr_scales=None
+                    lr_scales=None,
+                    skip_disconnected_params: bool = False
                     ) -> optax.GradientTransformation:
     """Assemble the full chain: clip -> optimizer(+decay mask) -> accum.
 
@@ -323,6 +356,8 @@ def build_optimizer(name: str, schedule, params, *, weight_decay=0.01,
         raise ValueError(f"unknown optimizer {name}")
     if lr_scales is not None:
         tx = optax.chain(tx, scale_updates_by(lr_scales))
+    if skip_disconnected_params:
+        tx = skip_disconnected(tx)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     if grad_accum_steps > 1:
