@@ -71,6 +71,11 @@ def parse_args():
     p.add_argument("--adam_betas", default=(0.9, 0.98), nargs="+",
                    type=float,
                    help="AdamW betas (reference: train_concap.py:101)")
+    p.add_argument("--skip_disconnected_params", action="store_true",
+                   help="torch-exact handling of loss-disconnected params "
+                        "(grad None there, e.g. image heads whose visual "
+                        "objective weight is 0): no update AND no decay "
+                        "(see optimization.skip_disconnected)")
     p.add_argument("--trunk_lr_scale", default=1.0, type=float,
                    help="LR multiplier for params loaded from "
                         "--from_pretrained (the reference's intended 0.1x "
@@ -206,7 +211,8 @@ def main():
                          state_dtype=None
                          if args.optimizer_state_dtype == "float32"
                          else jax.numpy.bfloat16,
-                         lr_scales=lr_scales)
+                         lr_scales=lr_scales,
+                         skip_disconnected_params=args.skip_disconnected_params)
 
     mesh = make_mesh(n_data=data_parallel_size(per_host_batch))
     state = create_train_state(jax.random.PRNGKey(args.seed + 1), params, tx)
