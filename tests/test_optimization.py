@@ -260,3 +260,27 @@ def test_lr_scales_from_loaded_paths():
         params, ["embeddings.word_emb.embedding"], 0.1)
     assert scales["embeddings"]["word_emb"]["embedding"] == 0.1
     assert scales["clf_1"]["dense"]["kernel"] == 1.0
+
+
+def test_skip_disconnected_semantics():
+    """Whole-tensor-zero grads get NO update (decay included), like torch's
+    grad-None skip; nonzero-grad tensors keep normal AdamW + decay."""
+    params = {"used": jnp.linspace(0.5, 1.0, 4).astype(jnp.float32),
+              "dead": jnp.linspace(-1.0, 1.0, 4).astype(jnp.float32)}
+    g = {"used": jnp.array([0.1, -0.2, 0.3, -0.4], jnp.float32),
+         "dead": jnp.zeros(4, jnp.float32)}
+
+    def run(skip):
+        tx = build_optimizer("adamw", lambda _: 1e-2, params,
+                             weight_decay=0.1, clip_norm=1.0,
+                             skip_disconnected_params=skip)
+        p, st = dict(params), tx.init(params)
+        for _ in range(3):
+            u, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    base, skipped = run(False), run(True)
+    np.testing.assert_allclose(skipped["used"], base["used"], rtol=1e-6)
+    np.testing.assert_array_equal(skipped["dead"], params["dead"])  # frozen
+    assert not np.allclose(base["dead"], params["dead"])  # default decays
