@@ -132,6 +132,55 @@ TASK1:
     assert os.path.getsize(out) > 1000
 
 
+def test_export_cli_pallas_defaults_tpu_platform(tmp_path):
+    """--use_pallas without --platforms must pin the artifact to TPU
+    instead of tripping export_task_forward's portability check against
+    the current (non-tpu) backend — regression for the failed
+    logs/bench_serving_int8_r3.log hardware batch."""
+    import importlib.util
+    from unittest import mock
+
+    cfg = _tiny_cfg()
+    cfg_path = os.path.join(str(tmp_path), "model.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+    yml = os.path.join(str(tmp_path), "tasks.yml")
+    open(yml, "w").write(f"""
+TASK1:
+  name: VQA
+  type: VL-classifier
+  num_labels: 9
+  loss: BCEWithLogitLoss
+  process: normal
+  task_id: 1
+  dataroot: {tmp_path}
+  features_h5path1: ''
+  features_h5path2: ''
+  train_annotations_jsonpath: ''
+  val_annotations_jsonpath: ''
+  max_seq_length: 10
+  max_region_num: 7
+  batch_size: 4
+  train_split: train
+  val_split: val
+  lr: 0.0001
+  num_epoch: 1
+""")
+    out = os.path.join(str(tmp_path), "m.stablehlo")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "export_model", os.path.join(root, "tools", "export_model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    argv = ["export_model.py", "--config_file", cfg_path,
+            "--tasks_config_file", yml, "--task", "1", "--out", out,
+            "--batch_size", "4", "--use_pallas"]
+    with mock.patch.object(sys, "argv", argv):
+        spec.loader.exec_module(mod)
+        mod.main()
+    assert os.path.getsize(out) > 1000
+    back = vexport.load_exported(out)
+    assert back.platforms == ("tpu",)
+
+
 def test_export_polymorphic_batch(tmp_path):
     """batch_size='b' serves any batch size from one artifact."""
     from volta_tpu.models import VoltaForVLTasks

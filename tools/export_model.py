@@ -73,6 +73,11 @@ def main():
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
     cfg.use_pallas = bool(args.use_pallas)
+    if args.use_pallas and args.platforms is None:
+        # Mosaic custom calls pin the artifact to TPU; exporting for the
+        # "current backend" (the axon platform here) would be rejected by
+        # export_task_forward's portability check.
+        args.platforms = ["tpu"]
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
     tc = task_cfg[task]

@@ -1,10 +1,10 @@
 #!/bin/bash
-# RoBERTa-on-TPU smoke (VERDICT r2 missing #3 follow-through): one real
-# fine-tune epoch + val of a full-dims roberta-flagged ctrl_uniter on the
-# synthetic VQA corpus, driven by the real CLI with the from-scratch
-# byte-level BPE tokenizer (--bert_model roberta-base activates it the
-# reference way, volta train_task.py:179-180).
-# Waits for the r3o batch to release the TPU (one process at a time).
+# Round-3q follow-up batch (runs after r3o releases the TPU):
+#   1. int8 serving throughput b1024/b64 — re-run of the r3o items that
+#      failed before tools/export_model.py defaulted --use_pallas exports
+#      to platforms=('tpu',)
+#   2. RoBERTa fine-tune smoke on hardware (full-dims roberta-flagged
+#      ctrl_uniter, byte-level BPE tokenizer, 1 epoch + val)
 set -u
 cd /root/repo
 mkdir -p logs
@@ -14,7 +14,23 @@ for i in $(seq 1 720); do
   sleep 30
 done
 grep -q "ALLDONE r3o" logs/run_hw_r3o.log || {
-  echo "r3o never finished; aborting roberta smoke"; exit 1; }
+  echo "r3o never finished; aborting r3q"; exit 1; }
+
+echo "=== int8 serving b1024 ($(date))"
+python -u tools/export_model.py \
+  --config_file configs/ctrl_uniter_base.json \
+  --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
+  --out /tmp/vqa_int8.stablehlo --batch_size 1024 --use_pallas \
+  --quantize int8 --check --bench 30 \
+  > logs/bench_serving_int8_r3.log 2>&1 || true
+
+echo "=== int8 serving b64 ($(date))"
+python -u tools/export_model.py \
+  --config_file configs/ctrl_uniter_base.json \
+  --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
+  --out /tmp/vqa_int8_b64.stablehlo --batch_size 64 --use_pallas \
+  --quantize int8 --check --bench 100 \
+  >> logs/bench_serving_int8_r3.log 2>&1 || true
 
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
 import json, os
@@ -44,5 +60,5 @@ python -u train_task.py \
   --output_dir /tmp/roberta_smoke_save --logdir /tmp/roberta_smoke_logs \
   --num_train_epochs 1 --num_workers 2 --in_memory True \
   > logs/hw_roberta_r3.log 2>&1 || true
-grep -E "VAL epoch|pairs/s|steps" logs/hw_roberta_r3.log | tail -5
-echo "=== ALLDONE r3p ($(date))"
+grep -E "VAL epoch|pairs/s" logs/hw_roberta_r3.log | tail -3
+echo "=== ALLDONE r3q ($(date))"
