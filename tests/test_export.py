@@ -132,10 +132,12 @@ TASK1:
     assert os.path.getsize(out) > 1000
 
 
-def test_export_cli_pallas_defaults_tpu_platform(tmp_path):
-    """--use_pallas without --platforms must pin the artifact to TPU
-    instead of tripping export_task_forward's portability check against
-    the current (non-tpu) backend — regression for the failed
+@pytest.mark.parametrize("platform_args", [[], ["--platforms"]])
+def test_export_cli_pallas_defaults_tpu_platform(tmp_path, platform_args):
+    """--use_pallas without --platforms (absent OR an explicit empty
+    list) must pin the artifact to TPU instead of tripping
+    export_task_forward's portability check against the current
+    (non-tpu) backend — regression for the failed
     logs/bench_serving_int8_r3.log hardware batch."""
     import importlib.util
     from unittest import mock
@@ -172,7 +174,7 @@ TASK1:
     mod = importlib.util.module_from_spec(spec)
     argv = ["export_model.py", "--config_file", cfg_path,
             "--tasks_config_file", yml, "--task", "1", "--out", out,
-            "--batch_size", "4", "--use_pallas"]
+            "--batch_size", "4", "--use_pallas"] + platform_args
     with mock.patch.object(sys, "argv", argv):
         spec.loader.exec_module(mod)
         mod.main()

@@ -8,8 +8,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from volta_tpu import export as vexport
-from volta_tpu.ops.int8_dense import (apply_quantized, int8_dense_apply,
-                                      quantize_kernel, quantize_variables)
+from volta_tpu.ops.int8_dense import (apply_quantized,
+                                      calibrate_activation_scales,
+                                      int8_dense_apply, quantize_kernel,
+                                      quantize_variables)
 
 from test_export import TASK_CFG, _batch, _tiny_cfg
 
@@ -81,6 +83,88 @@ def test_apply_quantized_agrees_with_fp32():
     # logits agree to quantization scale and rank the same answers
     assert np.abs(q8 - fp).max() < 0.15 * (np.abs(fp).max() + 1e-6)
     assert (q8.argmax(-1) == fp.argmax(-1)).mean() >= 0.75
+
+
+def test_static_scale_matches_manual():
+    rng = np.random.RandomState(3)
+    x = rng.randn(5, 16).astype(np.float32)
+    w = (rng.randn(16, 8) * 0.1).astype(np.float32)
+    q, scale = quantize_kernel(w)
+    a = float(np.abs(x).max() / 127.0 + 1e-12)
+    got = np.asarray(int8_dense_apply(x, q, scale, None,
+                                      out_dtype=jnp.float32, a_scale=a))
+    ws = np.abs(w).max(0) / 127.0 + 1e-12
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int64)
+    xq = np.clip(np.round(x / a), -127, 127).astype(np.int64)
+    want = (xq @ wq).astype(np.float64) * (a * ws)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_static_calibration_and_agreement():
+    """Calibrated static scales cover every exercised Dense and the static
+    forward stays close to fp32 on a batch the calibration never saw."""
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    cal = [_batch(cfg, seed=s) for s in (10, 11)]
+    batch = _batch(cfg, seed=12)
+    variables = model.init(jax.random.PRNGKey(1), *cal[0][:3], "TASK1",
+                           *cal[0][3:])
+    apply_fn = lambda v, *b: model.apply(v, b[0], b[1], b[2], "TASK1",
+                                         b[3], b[4], b[5])
+    scales = calibrate_activation_scales(apply_fn, variables, cal)
+    assert scales and all(v > 0 for v in scales.values())
+
+    bundle = quantize_variables(variables, act_scales=scales)
+    # every exercised Dense got a static scale baked in
+    assert all(e["a"] is not None for e in bundle["int8"].values())
+
+    fp, _ = model.apply(variables, batch[0], batch[1], batch[2], "TASK1",
+                        batch[3], batch[4], batch[5])
+    q8, _ = apply_quantized(model, bundle, batch[0], batch[1], batch[2],
+                            "TASK1", batch[3], batch[4], batch[5])
+    fp = np.asarray(fp, np.float32)
+    q8 = np.asarray(q8, np.float32)
+    # static scales clip out-of-calibration outliers -> a bit looser than
+    # the dynamic path, but still quantization-scale agreement
+    assert np.abs(q8 - fp).max() < 0.25 * (np.abs(fp).max() + 1e-6)
+
+
+def test_int8_static_export_roundtrip(tmp_path):
+    from volta_tpu.models import VoltaForVLTasks
+
+    cfg = _tiny_cfg()
+    b, l, r = 4, 10, 7
+    batch = _batch(cfg, b, l, r)
+    model = VoltaForVLTasks(cfg, TASK_CFG, ("TASK1",))
+    variables = model.init(jax.random.PRNGKey(0), batch[0], batch[1],
+                           batch[2], "TASK1", batch[3], batch[4], batch[5])
+    apply_fn = lambda v, *a: model.apply(v, a[0], a[1], a[2], "TASK1",
+                                         a[3], a[4], a[5])
+    scales = calibrate_activation_scales(apply_fn, variables, [batch])
+    bundle = quantize_variables(variables, act_scales=scales)
+    live, _ = apply_quantized(model, bundle, batch[0], batch[1], batch[2],
+                              "TASK1", batch[3], batch[4], batch[5])
+
+    exported = vexport.export_task_forward(cfg, TASK_CFG, "TASK1",
+                                           variables, b, l, r,
+                                           quantize="int8_static",
+                                           act_scales=scales)
+    path = os.path.join(str(tmp_path), "m8s.stablehlo")
+    vexport.save_exported(exported, path)
+    back = vexport.load_exported(path)
+    np.testing.assert_allclose(np.asarray(back.call(bundle, *batch)),
+                               np.asarray(live), rtol=1e-5, atol=1e-6)
+
+
+def test_int8_static_requires_scales():
+    import pytest
+
+    cfg = _tiny_cfg()
+    with pytest.raises(ValueError, match="act_scales"):
+        vexport.export_task_forward(cfg, TASK_CFG, "TASK1", {}, 2, 10, 7,
+                                    quantize="int8_static")
 
 
 def test_int8_export_roundtrip(tmp_path):

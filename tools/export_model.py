@@ -49,12 +49,19 @@ def main():
     p.add_argument("--use_pallas", action="store_true",
                    help="keep the Mosaic kernels in the artifact "
                         "(tpu-only serving)")
-    p.add_argument("--quantize", default=None, choices=["int8"],
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int8_static"],
                    help="weight+activation int8 dense matmuls (serving "
                         "only; weights ship 4x smaller; see "
-                        "volta_tpu/ops/int8_dense.py). With --check, "
-                        "also prints logit deviation + top-1 agreement "
-                        "vs the unquantized forward on a random batch")
+                        "volta_tpu/ops/int8_dense.py). int8_static "
+                        "calibrates static activation scales on random "
+                        "batches (fused requant — the fast path). With "
+                        "--check, also prints logit deviation + top-1 "
+                        "agreement vs the unquantized forward on a "
+                        "random batch")
+    p.add_argument("--calibrate_batches", type=int, default=2,
+                   help="int8_static: number of random calibration "
+                        "batches (seeds disjoint from the --check batch)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a zero batch")
     p.add_argument("--bench", type=int, default=0,
@@ -73,10 +80,11 @@ def main():
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
     cfg.use_pallas = bool(args.use_pallas)
-    if args.use_pallas and args.platforms is None:
+    if args.use_pallas and not args.platforms:
         # Mosaic custom calls pin the artifact to TPU; exporting for the
         # "current backend" (the axon platform here) would be rejected by
-        # export_task_forward's portability check.
+        # export_task_forward's portability check. An explicit empty
+        # --platforms list gets the same default.
         args.platforms = ["tpu"]
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
@@ -102,20 +110,42 @@ def main():
                                             args.from_pretrained)
         print(f"loaded {len(report['loaded'])} tensors")
 
+    def rand_batch(seed):
+        rng = np.random.RandomState(seed)
+        b = [z.copy() for z in zeros]
+        b[0] = rng.randint(1, cfg.vocab_size, b[0].shape).astype(np.int32)
+        b[1] = (rng.randn(*b[1].shape) * 0.5).astype(np.float32)
+        b[2] = rng.rand(*b[2].shape).astype(np.float32)
+        b[4] = np.ones_like(b[4])
+        b[5] = np.ones_like(b[5])
+        return b
+
+    act_scales = None
+    if args.quantize == "int8_static":
+        from volta_tpu.ops.int8_dense import calibrate_activation_scales
+        apply_fn = lambda v, *b: model.apply(
+            v, b[0], b[1], b[2], task, b[3], b[4], b[5])
+        act_scales = calibrate_activation_scales(
+            apply_fn, variables,
+            [rand_batch(s + 1) for s in range(args.calibrate_batches)])
+        print(f"calibrated {len(act_scales)} activation scales")
+
     exported = vexport.export_task_forward(
         cfg, task_cfg, task, variables, bs, seq_len,
         region_len, platforms=args.platforms,
-        bake_weights=args.bake_weights, quantize=args.quantize)
+        bake_weights=args.bake_weights, quantize=args.quantize,
+        act_scales=act_scales)
     vexport.save_exported(exported, args.out)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB, "
           f"platforms={exported.platforms})")
 
     call_vars = variables
-    if args.quantize == "int8":
+    if args.quantize:
         from volta_tpu.ops.int8_dense import quantize_variables
         rd = vexport.quantize_residual_dtype(cfg)
         call_vars = jax.jit(
-            lambda v: quantize_variables(v, residual_dtype=rd))(variables)
+            lambda v: quantize_variables(v, residual_dtype=rd,
+                                         act_scales=act_scales))(variables)
 
     if args.check:
         back = vexport.load_exported(args.out)
@@ -125,14 +155,8 @@ def main():
         print(f"check OK: output {out.shape} {out.dtype}, "
               f"|mean|={abs(float(out.astype(np.float32).mean())):.4f}")
         if args.quantize:
-            rng = np.random.RandomState(0)
-            rand = [z.copy() for z in zeros]
-            rand[0] = rng.randint(
-                1, cfg.vocab_size, rand[0].shape).astype(np.int32)
-            rand[1] = (rng.randn(*rand[1].shape) * 0.5).astype(np.float32)
-            rand[2] = rng.rand(*rand[2].shape).astype(np.float32)
-            rand[4] = np.ones_like(rand[4])
-            rand[5] = np.ones_like(rand[5])
+            # seed 0 is disjoint from the calibration seeds (1..N)
+            rand = rand_batch(0)
             qlog = np.asarray(call(*rand), np.float32)
             flog = np.asarray(jax.jit(
                 lambda v, *b: model.apply(

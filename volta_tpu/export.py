@@ -63,7 +63,8 @@ def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
                         batch_size, seq_len: int, region_len: int,
                         platforms: Optional[Sequence[str]] = None,
                         bake_weights: bool = False,
-                        quantize: Optional[str] = None):
+                        quantize: Optional[str] = None,
+                        act_scales=None):
     """Stage the eval forward for one task out to a ``jax.export.Exported``.
 
     ``variables`` is the full variable dict ({"params": ...}).
@@ -85,18 +86,25 @@ def export_task_forward(cfg: VoltaConfig, task_cfg, task: str, variables,
     ``ops/int8_dense.py``); the artifact then takes the bundle from
     ``quantize_variables(variables)`` instead of the raw variables
     (weights ship 4x smaller). Attention kernels, LayerNorms and
-    embeddings stay bf16/f32.
+    embeddings stay bf16/f32. ``quantize="int8_static"`` additionally
+    bakes static activation scales (pass ``act_scales`` from
+    ``calibrate_activation_scales``) so the requant is a fused
+    elementwise op instead of a per-token reduction.
     """
     from .models import VoltaForVLTasks
 
     model = VoltaForVLTasks(cfg, task_cfg, (task,))
 
-    if quantize not in (None, "int8"):
+    if quantize not in (None, "int8", "int8_static"):
         raise ValueError(f"unknown quantize mode: {quantize!r}")
-    if quantize == "int8":
+    if quantize is not None:
         from .ops.int8_dense import apply_quantized, quantize_variables
+        if quantize == "int8_static" and act_scales is None:
+            raise ValueError("int8_static needs act_scales "
+                             "(calibrate_activation_scales)")
         variables = quantize_variables(
-            variables, residual_dtype=quantize_residual_dtype(cfg))
+            variables, residual_dtype=quantize_residual_dtype(cfg),
+            act_scales=act_scales if quantize == "int8_static" else None)
 
         def _apply(variables_, *a):
             return apply_quantized(model, variables_, *a)
