@@ -34,6 +34,9 @@ def main():
     p.add_argument("--tasks_config_file", required=True)
     p.add_argument("--task", required=True)
     p.add_argument("--vocab_file", required=True)
+    p.add_argument("--bert_model", default="bert-base-uncased",
+                   help="tokenizer family; roberta* selects the BPE "
+                        "tokenizer (vocab_file is then the BPE dir)")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--with_data", action="store_true",
@@ -70,7 +73,7 @@ def main():
         cfg.fusion_method = tc["fusion_method"]
 
     ds_args = SimpleNamespace(
-        bert_model="bert-base-uncased", do_lower_case=True,
+        bert_model=args.bert_model, do_lower_case=True,
         vocab_file=args.vocab_file, grad_acc_steps=1, seed=0,
         num_workers=args.num_workers if args.with_data else 0,
         in_memory=args.with_data)
