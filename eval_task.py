@@ -43,7 +43,28 @@ def parse_args():
     # local_rank is a torch.distributed.launch artifact)
     p.add_argument("--use_chunk", default=0, type=float)
     p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--dump_attn", type=int, default=0, metavar="N",
+                   help="save per-sublayer attention maps ({intra_attn, "
+                        "inter_attn, queries, keys} per stream — the "
+                        "reference's visualization/output_all_attention_"
+                        "masks data, volta/encoders.py:342-358) for the "
+                        "first N eval batches as attn_<split>_<i>.npz")
     return p.parse_args()
+
+
+def dump_attn_maps(attn, qids, path):
+    """Flatten the per-sublayer (t_data, v_data) dicts into one .npz with
+    keys like ``s03_t_intra_attn`` ([B, H, Lq, Lk] f32) plus the batch's
+    question_ids for alignment."""
+    arrays = {"question_id": np.asarray(qids)}
+    for li, (t_data, v_data) in enumerate(attn):
+        for stream, data in (("t", t_data), ("v", v_data)):
+            for key, val in data.items():
+                if val is not None:
+                    arrays[f"s{li:02d}_{stream}_{key}"] = \
+                        np.asarray(val, dtype=np.float32)
+    np.savez_compressed(path, **arrays)
+    return len(arrays) - 1
 
 
 def collect_results(task_type, prediction, batch, info, dataset, results):
@@ -135,11 +156,34 @@ def main():
 
     eval_step = make_task_eval_step(model, task_cfg, task)
 
+    attn_step = None
+    if args.dump_attn:
+        from volta_tpu.task_utils import process_batch as _pb
+
+        def attn_fn(params, batch):
+            ins, _ = _pb(tc, batch)
+            _, extras = model.apply(
+                {"params": params}, ins["input_ids"], ins["image_feat"],
+                ins["image_loc"], task, ins["token_type_ids"],
+                ins["attention_mask"], ins["image_attention_mask"],
+                deterministic=True, output_probs=True)
+            return extras["probs"]
+
+        attn_step = jax.jit(attn_fn)
+        os.makedirs(args.output_dir, exist_ok=True)
+
     from volta_tpu.train_utils import fetch_metric_window
 
     results = []
     metric_refs = []
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if attn_step is not None and bi < args.dump_attn:
+            split_name = args.split or tc["val_split"]
+            path = os.path.join(args.output_dir,
+                                f"attn_{split_name}_{bi}.npz")
+            n = dump_attn_maps(attn_step(variables["params"], batch),
+                               batch["question_id"], path)
+            logger.info("wrote %d attention arrays to %s", n, path)
         out = eval_step(variables["params"], batch)
         # predictions must come to host per batch (they are the output);
         # the loss/score scalars are kept as device refs and fetched in

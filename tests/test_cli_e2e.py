@@ -390,3 +390,42 @@ TASK3:
     log = os.path.join(tmp, "logs")
     out = os.path.join(log, os.listdir(log)[0], "out.txt")
     assert any("VAL epoch" in l for l in open(out))
+
+
+def test_eval_dump_attn_cli(workdir):
+    """--dump_attn N writes per-batch .npz attention maps whose arrays
+    follow the reference visualization structure: [B, H, Lq, Lk] probs
+    rows summing to 1 over the joint key axis, plus queries/keys."""
+    import numpy as np
+
+    import eval_task
+
+    tmp = workdir["tmp"]
+    res_dir = os.path.join(tmp, "attn_results")
+    argv = ["eval_task.py",
+            "--config_file", workdir["model_cfg"],
+            "--tasks_config_file", workdir["task_yml"],
+            "--task", "1",
+            "--vocab_file", workdir["vocab"],
+            "--output_dir", res_dir,
+            "--num_workers", "0",
+            "--compute_dtype", "float32",
+            "--no_pallas",
+            "--dump_attn", "1"]
+    with mock.patch.object(sys, "argv", argv):
+        eval_task.main()
+
+    path = os.path.join(res_dir, "attn_train_0.npz")
+    assert os.path.exists(path)
+    z = np.load(path)
+    # tiny uniter: 2 attn sublayers, single-stream -> all four flows live
+    t_intra = z["s00_t_intra_attn"]
+    t_inter = z["s00_t_inter_attn"]
+    assert "question_id" in z
+    assert t_intra.ndim == 4 and t_inter.ndim == 4  # [B, H, Lq, Lk]
+    assert t_intra.shape[:3] == t_inter.shape[:3]
+    # joint softmax: tt and tv rows sum to 1 together
+    joint = t_intra.sum(-1) + t_inter.sum(-1)
+    np.testing.assert_allclose(joint, 1.0, atol=1e-5)
+    assert any(k.endswith("_queries") for k in z.files)
+    assert any(k.endswith("_v_intra_attn") for k in z.files)

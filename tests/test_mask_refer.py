@@ -111,3 +111,24 @@ def test_refer_api(refer_root):
     out = refer.get_mask(refer.Refs[1])
     assert out["mask"].shape == (12, 12)
     assert out["area"] > 0
+
+
+def test_show_ref_and_mask_render(refer_root, tmp_path):
+    """showRef/showMask PNG rendering (reference: tools/refer/refer.py:
+    236-277, 329-333): polygon outlines, bbox mode, and the mask view all
+    produce non-empty PNGs without a display."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    refer = REFER(refer_root, dataset="refcoco", splitBy="unc")
+    ref = refer.Refs[1]
+    for name, call in [
+            ("seg.png", lambda p: refer.showRef(ref, "seg", save=p)),
+            ("box.png", lambda p: refer.showRef(ref, "box", save=p)),
+            ("mask.png", lambda p: refer.showMask(ref, save=p))]:
+        path = str(tmp_path / name)
+        call(path)
+        assert os.path.getsize(path) > 500, name
+    # PNG magic
+    with open(str(tmp_path / "mask.png"), "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"

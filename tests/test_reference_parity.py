@@ -397,3 +397,57 @@ def test_mlm_ce_parity():
         torch.tensor(logits).view(-1, 50), torch.tensor(labels).view(-1))
     got = cross_entropy_ignore(logits, labels)
     np.testing.assert_allclose(float(got), float(r), rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["ctrl_uniter_base", "ctrl_vilbert_base"])
+def test_attention_map_parity(name):
+    """visualization=True attention-map capture vs the reference's
+    output_all_attention_masks path (volta/encoders.py:342-358, 848-877):
+    per attention sublayer, {intra_attn, inter_attn, queries, keys} for
+    both streams must match torch in eval mode (probs are exact there —
+    dropout is identity). Covers one single-stream and one dual-stream
+    plan, including the joint-softmax split orders (tt‖tv and vt‖vv)."""
+    ref = load_reference()
+    d = dict(reduced_cfg_dict(name), visualization=True)
+    ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
+    torch.manual_seed(5)
+    ref_model = ref.encoders.BertModel(ref_cfg)
+    sd = randomize_state_dict(ref_model, 5)
+    cfg = VoltaConfig.from_dict(dict(d, use_pallas=False))
+
+    inputs = make_inputs(d, seed=13)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+
+    model = VoltaModel(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
+                                 types, t_mask, v_mask)
+    params, report = import_state_dict(cfg, params, sd)
+    assert not report["skipped"], report["skipped"]
+
+    # cfg.visualization alone must enable capture (no output_probs arg)
+    *_, extras = model.apply(params, ids, feats, locs, types, t_mask, v_mask)
+    ours = extras["probs"]
+
+    ref_model.eval()
+    with torch.no_grad():
+        *_, (ref_t, ref_v) = ref_model(*to_torch(*inputs),
+                                       output_all_attention_masks=True)
+
+    assert len(ours) == len(ref_t) == len(ref_v) > 0
+    live_q = {"t": t_mask.astype(bool), "v": v_mask.astype(bool)}
+    for li, ((t_data, v_data), rt, rv) in enumerate(zip(ours, ref_t, ref_v)):
+        for stream, mine, theirs in (("t", t_data, rt), ("v", v_data, rv)):
+            assert set(mine) == set(theirs), (li, stream)
+            for key in ("intra_attn", "inter_attn", "queries", "keys"):
+                r = theirs[key]
+                m = mine[key]
+                assert (m is None) == (r is None), (li, stream, key)
+                if m is None:
+                    continue
+                # [B, H, L(q), ...]: compare live query rows only (padded
+                # rows see identical math but carry no meaning)
+                m = np.asarray(m).swapaxes(1, 2)[live_q[stream]]
+                r = r.numpy().swapaxes(1, 2)[live_q[stream]]
+                np.testing.assert_allclose(
+                    m, r, rtol=5e-3, atol=5e-4,
+                    err_msg=f"sublayer {li} {stream} {key}")

@@ -82,6 +82,11 @@ class VoltaConfig:
     objective: int = 0
     clf_hidden_size: int = 1536
     model: str = "bert"  # bert | roberta
+    # Attention-map capture (reference: volta/encoders.py:190,342-358):
+    # when set, every forward also returns per-attention-sublayer
+    # {intra_attn, inter_attn, queries, keys} dicts in extras["probs"]
+    # (same as calling with output_probs=True; eval_task --dump_attn
+    # saves them to .npz).
     visualization: bool = False
     # --- TPU-native extensions (not in reference schema) -------------------
     # Compute dtype for the encoder ("float32" | "bfloat16"); params stay fp32.

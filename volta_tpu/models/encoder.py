@@ -121,8 +121,10 @@ class GatedAttentionSublayer(nn.Module):
             probs_kept = drop(probs, deterministic=False)
         out = attn_ops.attention_out(probs_kept, v)
         if want_probs:
-            splits = jnp.split(probs, [split_sizes[0]], axis=-1) \
-                if len(split_sizes) == 2 else [probs]
+            # post-dropout, like the reference's captured tensors
+            # (volta/encoders.py:288-314; identical to pre-dropout in eval)
+            splits = jnp.split(probs_kept, [split_sizes[0]], axis=-1) \
+                if len(split_sizes) == 2 else [probs_kept]
             return out, splits
         return out, None
 
@@ -188,6 +190,7 @@ class GatedAttentionSublayer(nn.Module):
                  output_probs: bool = False):
         spec = self.spec
         t_probs = v_probs = None
+        qt = kt = qv = kv = None
 
         if spec.has_text:
             qt = _split_heads(self.query(t), spec.num_heads)
@@ -265,8 +268,40 @@ class GatedAttentionSublayer(nn.Module):
             else:
                 v_new = v
         if output_probs:
-            return t_new, v_new, (t_probs, v_probs)
+            return t_new, v_new, self._attn_data(qt, kt, t_probs, qv, kv,
+                                                 v_probs)
         return t_new, v_new, None
+
+    def _attn_data(self, qt, kt, t_probs, qv, kv, v_probs):
+        """Per-stream visualization dicts, reference layout
+        (volta/encoders.py:342-358): probs [B, H, Lq, Lk], queries/keys
+        [B, H, L, head_dim]; None for absent flows/streams. The vision
+        joint-softmax key order is [text ‖ vision], so when both vt and vv
+        exist the splits arrive as (vt, vv)."""
+        spec = self.spec
+        bhld = lambda x: None if x is None else x.transpose(0, 2, 1, 3)
+        tt = tv = vt = vv = None
+        if spec.has_text:
+            if spec.has_tt and spec.has_tv:
+                tt, tv = t_probs
+            elif spec.has_tt:
+                (tt,) = t_probs
+            else:
+                (tv,) = t_probs
+        if spec.has_vision:
+            if spec.has_vt and spec.has_vv:
+                vt, vv = v_probs
+            elif spec.has_vt:
+                (vt,) = v_probs
+            else:
+                (vv,) = v_probs
+        # like the reference, a stream with no flows still gets a dict of
+        # Nones (volta/encoders.py:342-358 builds both unconditionally)
+        t_data = {"intra_attn": tt, "inter_attn": tv,
+                  "queries": bhld(qt), "keys": bhld(kt)}
+        v_data = {"intra_attn": vv, "inter_attn": vt,
+                  "queries": bhld(qv), "keys": bhld(kv)}
+        return t_data, v_data
 
 
 class GatedFeedForwardSublayer(nn.Module):

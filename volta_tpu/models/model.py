@@ -62,6 +62,9 @@ class VoltaModel(nn.Module):
                  image_attention_mask=None, *, deterministic: bool = True,
                  output_all_layers: bool = False, output_probs: bool = False):
         cfg = self.cfg
+        # config.visualization implies attention-map capture, like the
+        # reference's `self.visualization` gate (volta/encoders.py:190)
+        output_probs = output_probs or cfg.visualization
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
         if token_type_ids is None:

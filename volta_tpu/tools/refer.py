@@ -29,6 +29,12 @@ class REFER:
         base = os.path.join(data_root, dataset)
         if not os.path.isdir(base):
             base = data_root
+        # image locations, as in the reference (tools/refer/refer.py:55-58)
+        if dataset == "refclef":
+            self.IMAGE_DIR = os.path.join(data_root, "images/saiapr_tc-12")
+        else:
+            self.IMAGE_DIR = os.path.join(
+                data_root, "images/mscoco/images/train2014")
         with open(os.path.join(base, f"refs({splitBy}).p"), "rb") as f:
             self.data_refs = pickle.load(f)
         with open(os.path.join(base, "instances.json")) as f:
@@ -141,3 +147,75 @@ class REFER:
         return {"mask": m, "area": int(m.sum())}
 
     getMask = get_mask
+
+    # ---------------------------------------------------------- rendering
+    def _load_image(self, image):
+        """The ref's photo from IMAGE_DIR, or a white canvas at the
+        record's dims when the image archive isn't on disk (this sandbox,
+        feature-only deployments)."""
+        path = os.path.join(self.IMAGE_DIR, image.get("file_name", ""))
+        if image.get("file_name") and os.path.exists(path):
+            from PIL import Image
+
+            return np.asarray(Image.open(path).convert("RGB"))
+        return np.full((image["height"], image["width"], 3), 255, np.uint8)
+
+    def showRef(self, ref, seg_box: str = "seg", ax=None, save: str = ""):
+        """Render a referring expression: image + its sentences + either
+        the segmentation (thick yellow / thin red polygon outlines, or a
+        green mask overlay for RLE segmentations) or the bounding box
+        (reference: tools/refer/refer.py:236-277). With ``save`` the
+        figure is written as a PNG (Agg — no display needed)."""
+        import matplotlib
+        if save:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Polygon, Rectangle
+
+        ax = ax or plt.gca()
+        image = self.Imgs[ref["image_id"]]
+        ax.imshow(self._load_image(image))
+        for sid, sent in enumerate(ref["sentences"]):
+            print("%s. %s" % (sid + 1, sent.get("sent", sent.get("raw", ""))))
+        ann = self.Anns[ref["ann_id"]]
+        if seg_box == "seg":
+            seg = ann["segmentation"]
+            if isinstance(seg, list) and isinstance(seg[0], list):
+                polygons = [
+                    Polygon(np.asarray(s, float).reshape(-1, 2), alpha=0.4)
+                    for s in seg]
+                ax.add_collection(PatchCollection(
+                    polygons, facecolors="none", edgecolors=(1, 1, 0),
+                    linewidths=3, alpha=1))
+                ax.add_collection(PatchCollection(
+                    polygons, facecolors="none", edgecolors=(1, 0, 0),
+                    linewidths=1, alpha=1))
+            else:
+                m = self.get_mask(ref)["mask"].astype(float)
+                overlay = np.empty(m.shape + (3,), float)
+                overlay[...] = np.array([2.0, 166.0, 101.0]) / 255
+                ax.imshow(np.dstack((overlay, m * 0.5)))
+        elif seg_box == "box":
+            x, y, w, h = self.getRefBox(ref["ref_id"])
+            ax.add_patch(Rectangle((x, y), w, h, fill=False,
+                                   edgecolor="green", linewidth=3))
+        if save:
+            ax.figure.savefig(save, bbox_inches="tight")
+            plt.close(ax.figure)
+        return ax
+
+    def showMask(self, ref, ax=None, save: str = ""):
+        """Render the ref's binary mask (reference:
+        tools/refer/refer.py:329-333)."""
+        import matplotlib
+        if save:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ax = ax or plt.gca()
+        ax.imshow(self.get_mask(ref)["mask"])
+        if save:
+            ax.figure.savefig(save, bbox_inches="tight")
+            plt.close(ax.figure)
+        return ax
