@@ -34,6 +34,10 @@ def test_bf16_tracks_f32():
 
 
 def test_roberta_position_offset():
+    """As-shipped, RoBERTa positions are 0-based like BERT's — the
+    reference's RobertaEmbeddings computes fairseq offsets but its parent
+    forward discards them (volta/embeddings.py:55-57; oracle-verified).
+    roberta_position_offset=True opts into the intended scheme."""
     cfg = tiny_zoo("ctrl_vilbert_base")
     cfg.model = "roberta"
     from volta_tpu.models.embeddings import TextEmbeddings
@@ -43,9 +47,13 @@ def test_roberta_position_offset():
     types = np.zeros((1, 4), np.int32)
     params = emb.init(jax.random.PRNGKey(0), ids, types)
     out_roberta, _ = emb.apply(params, ids, types)
-    # same table consumed with explicit bert-style ids shifted by 2 matches
-    out_manual, _ = emb.apply(params, ids, types,
-                              position_ids=np.arange(2, 6, dtype=np.int32)
-                              [None].repeat(1, 0))
+    pos = lambda a, b: np.arange(a, b, dtype=np.int32)[None]
+    out_bert, _ = emb.apply(params, ids, types, position_ids=pos(0, 4))
     np.testing.assert_allclose(np.asarray(out_roberta),
+                               np.asarray(out_bert), rtol=1e-6)
+
+    cfg.roberta_position_offset = True
+    out_off, _ = TextEmbeddings(cfg).apply(params, ids, types)
+    out_manual, _ = emb.apply(params, ids, types, position_ids=pos(2, 6))
+    np.testing.assert_allclose(np.asarray(out_off),
                                np.asarray(out_manual), rtol=1e-6)

@@ -451,3 +451,45 @@ def test_attention_map_parity(name):
                 np.testing.assert_allclose(
                     m, r, rtol=5e-3, atol=5e-4,
                     err_msg=f"sublayer {li} {stream} {key}")
+
+
+@pytest.mark.parametrize("name", ["ctrl_uniter_base", "ctrl_vilbert_base"])
+def test_roberta_forward_parity(name):
+    """model="roberta" forward parity vs the reference's RobertaEmbeddings
+    (volta/embeddings.py:73-96). Covers both structures: dual-stream
+    (vilbert) actually instantiates RobertaEmbeddings; shared-embedding
+    (uniter) REPLACES it with the image scheme after init
+    (volta/encoders.py:950-952), so roberta there only changes the
+    tokenizer. Also pins the as-shipped dead position offset: the parent
+    BertEmbeddings.forward discards RobertaEmbeddings' fairseq ids."""
+    ref = load_reference()
+    d = dict(reduced_cfg_dict(name), model="roberta")
+    ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
+    torch.manual_seed(21)
+    ref_model = ref.encoders.BertModel(ref_cfg)
+    sd = randomize_state_dict(ref_model, 21)
+    cfg = VoltaConfig.from_dict(dict(d, use_pallas=False))
+    assert cfg.model == "roberta"
+
+    inputs = make_inputs(d, seed=17)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+
+    model = VoltaModel(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
+                                 types, t_mask, v_mask)
+    params, report = import_state_dict(cfg, params, sd)
+    assert not report["skipped"], report["skipped"]
+    assert_unused_are_aliases(sd, report)
+
+    seq_t, seq_v, pooled_t, pooled_v, _ = model.apply(
+        params, ids, feats, locs, types, t_mask, v_mask)
+    with torch.no_grad():
+        r_t, r_v, r_pt, r_pv, _ = ref_model(*to_torch(*inputs))
+
+    live_t = t_mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(seq_t)[live_t],
+                               r_t.numpy()[live_t], **TOL)
+    np.testing.assert_allclose(np.asarray(seq_v)[v_mask.astype(bool)],
+                               r_v.numpy()[v_mask.astype(bool)], **TOL)
+    np.testing.assert_allclose(np.asarray(pooled_t), r_pt.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(pooled_v), r_pv.numpy(), **TOL)

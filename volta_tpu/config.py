@@ -82,6 +82,10 @@ class VoltaConfig:
     objective: int = 0
     clf_hidden_size: int = 1536
     model: str = "bert"  # bert | roberta
+    # fairseq-intended RoBERTa positions (start at padding_idx+1=2). The
+    # reference computes but DISCARDS these (volta/embeddings.py:55-57
+    # overwrites; oracle-verified), so the as-shipped default is 0-based.
+    roberta_position_offset: bool = False
     # Attention-map capture (reference: volta/encoders.py:190,342-358):
     # when set, every forward also returns per-attention-sublayer
     # {intra_attn, inter_attn, queries, keys} dicts in extras["probs"]

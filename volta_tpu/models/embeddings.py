@@ -44,9 +44,14 @@ class TextEmbeddings(nn.Module):
                     "token_type_embeddings")
         if position_ids is None:
             seq = input_ids.shape[1]
-            if cfg.model == "roberta":
-                # positions begin at padding_idx + 1 = 2
-                # (reference: volta/embeddings.py:82-93)
+            if cfg.model == "roberta" and cfg.roberta_position_offset:
+                # fairseq-style positions beginning at padding_idx + 1 = 2 —
+                # what the reference's RobertaEmbeddings COMPUTES
+                # (volta/embeddings.py:82-93) but never uses: its parent
+                # BertEmbeddings.forward overwrites position_ids with
+                # arange(seq) unconditionally (volta/embeddings.py:55-57,
+                # verified against the in-sandbox oracle), so as-shipped
+                # RoBERTa positions are 0-based like BERT's. Opt-in only.
                 position_ids = jnp.arange(2, seq + 2, dtype=jnp.int32)
             else:
                 position_ids = jnp.arange(seq, dtype=jnp.int32)
