@@ -72,10 +72,11 @@ STEPS = 4
 NO_DECAY = ("bias", "LayerNorm.bias", "LayerNorm.weight")
 
 
-def _torch_adamw_step(named_params, state):
+def _torch_adamw_step(named_params, state, lr=LR, wd=WD):
     """One pytorch_transformers-AdamW step (correct_bias=False): decoupled
     weight decay applied to the post-update parameter, no bias correction
-    (reference usage: train_concap.py:227-231)."""
+    (reference usage: train_concap.py:227-231). ``lr`` may vary per step
+    (schedule)."""
     with torch.no_grad():
         for name, p in named_params:
             if p.grad is None:
@@ -85,9 +86,9 @@ def _torch_adamw_step(named_params, state):
             g = p.grad
             m.mul_(BETAS[0]).add_(g, alpha=1 - BETAS[0])
             v.mul_(BETAS[1]).addcmul_(g, g, value=1 - BETAS[1])
-            p.add_(m / (v.sqrt() + EPS), alpha=-LR)
+            p.add_(m / (v.sqrt() + EPS), alpha=-lr)
             if not any(nd in name for nd in NO_DECAY):
-                p.add_(p, alpha=-LR * WD)
+                p.add_(p, alpha=-lr * wd)
 
 
 def _batch(d, inputs, labels, mlm_labels, itm_labels):
@@ -362,4 +363,113 @@ def test_finetune_train_step_parity(name, optim):
         assert path_r == path_o
         np.testing.assert_allclose(
             np.asarray(leaf_o), np.asarray(leaf_r), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path_r))
+
+
+@pytest.mark.slow
+def test_long_horizon_schedule_clip_parity():
+    """25 full steps on ctrl_uniter crossing the warmup->decay boundary
+    (warmup 8 of 25, pytorch_transformers WarmupLinearSchedule) and a
+    clip-active->inactive transition: no slow drift in the schedule /
+    clip / decay plumbing vs torch (VERDICT r3 item 8). Loss trajectories
+    compared per step; final params through the production importer."""
+    from volta_tpu.optimization import warmup_linear_schedule
+
+    ref = load_reference()
+    d = reduced_cfg_dict("ctrl_uniter_base")
+    ref_cfg = ref.config.BertConfig.from_dict(json.loads(json.dumps(d)))
+    seed = 8200
+    torch.manual_seed(seed)
+    ref_model = ref.encoders.BertForVLPreTraining(ref_cfg)
+    sd = randomize_state_dict(ref_model, seed)
+    cfg = VoltaConfig.from_dict(dict(d, use_pallas=False))
+
+    steps, warmup, clip = 25, 8, 12.0
+    sched = warmup_linear_schedule(LR, warmup, steps)
+
+    rng = np.random.RandomState(41)
+    inputs = make_inputs(d, seed=43)
+    labels, mlm_labels, itm_labels = _pretrain_labels(d, rng)
+    batch = _batch(d, inputs, labels, mlm_labels, itm_labels)
+
+    model = VoltaForVLPreTraining(cfg)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
+                                    types, t_mask, v_mask)
+    variables, report = import_state_dict(cfg, variables, sd)
+    assert not report["skipped"], report["skipped"]
+    params = variables["params"]
+    tx = build_optimizer("adamw", sched, params, weight_decay=WD,
+                         clip_norm=clip, betas=BETAS, eps=EPS,
+                         correct_bias=False)
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, batch["input_ids"], batch["image_feat"],
+            batch["image_loc"], batch["segment_ids"], batch["input_mask"],
+            batch["image_mask"], deterministic=True)
+        mlm, mrm, itm = pretraining_losses(
+            cfg, out, masked_lm_labels=batch["lm_label_ids"],
+            image_label=batch["image_label"], image_cls=batch["image_cls"],
+            image_feat=_strip_global(cfg, batch["image_feat"]),
+            obj_labels=batch["obj_labels"], obj_confs=batch["obj_confs"],
+            attr_labels=batch["attr_labels"], attr_confs=batch["attr_confs"],
+            next_sentence_label=batch["is_match"])
+        return mlm + mrm + itm
+
+    @jax.jit
+    def train_step(p, opt_state, step):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    ours = []
+    for k in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, k)
+        ours.append(float(loss))
+
+    # torch side: same schedule values, torch clip, transcribed AdamW
+    lrs = [float(sched(k)) for k in range(steps)]
+    assert lrs[warmup - 1] < lrs[warmup] > lrs[warmup + 1]  # boundary crossed
+    torch_opt_state = {}
+    theirs, norms = [], []
+    for k in range(steps):
+        ref_model.zero_grad()
+        tb = to_torch(*inputs)
+        lt = lambda x: torch.tensor(x)  # noqa: E731
+        mlm, img, itm = ref_model(
+            *tb, masked_lm_labels=lt(mlm_labels),
+            image_label=lt(labels["image_label"]),
+            image_cls=lt(labels["image_cls"]),
+            obj_labels=lt(labels["obj_labels"]),
+            obj_confs=lt(labels["obj_confs"]),
+            attr_labels=lt(labels["attr_labels"]),
+            attr_confs=lt(labels["attr_confs"]),
+            image_attrs=None, next_sentence_label=lt(itm_labels))
+        loss = mlm + img + itm
+        loss.backward()
+        norms.append(float(torch.nn.utils.clip_grad_norm_(
+            ref_model.parameters(), clip)))
+        _torch_adamw_step(list(ref_model.named_parameters()),
+                          torch_opt_state, lr=lrs[k])
+        theirs.append(float(loss.detach()))
+
+    # the clip transition actually happened inside the horizon
+    assert norms[0] > clip, norms[0]
+    assert norms[-1] < clip, norms[-1]
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3)
+    assert theirs[-1] < theirs[0]
+
+    final_vars, report = import_state_dict(
+        cfg, jax.tree.map(np.copy, variables),
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()})
+    assert not report["skipped"], report["skipped"]
+    flat_ref = jax.tree_util.tree_flatten_with_path(final_vars["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert len(flat_ref) == len(flat_ours)
+    for (path_r, leaf_r), (path_o, leaf_o) in zip(flat_ref, flat_ours):
+        assert path_r == path_o
+        np.testing.assert_allclose(
+            np.asarray(leaf_o), np.asarray(leaf_r), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(path_r))
