@@ -185,15 +185,14 @@ def qa_proxy(model_name, n_questions=240, n_labels=8, epochs=150,
         epochs = 400
         cfg = zoo.single_stream("uniter", depth=2, vocab_size=vs + 3,
                                 model="roberta", **SMALL)
-    else:
+    elif model_name == "ctrl_visualbert":
         vocab = make_vocab(tmp)
         vs = vocab_size(vocab)
-    if model_name == "roberta_uniter":
-        pass
-    elif model_name == "ctrl_visualbert":
         cfg = zoo.single_stream("visualbert", depth=2, vocab_size=vs,
                                 **SMALL)
     elif model_name == "lxmert":
+        vocab = make_vocab(tmp)
+        vs = vocab_size(vocab)
         cfg = zoo.lxmert(n_text=3, n_vision=2, n_cross=2, vocab_size=vs,
                          **{**SMALL, "num_locs": 4}, add_global_imgfeat=None,
                          visual_target_weights={"3": 6.667, "4": 6.667,

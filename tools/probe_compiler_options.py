@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CANDIDATES = [
     ("base", {}),
-    ("vmem32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
-    ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    # vmem32m/vmem64m measured in round 3 and lost (69.47/70.14 vs base
+    # 69.09 ms, logs/compopts_full_r3.log) — dropped from the grid.
     # scheduler / fusion knobs — stage 1 just asks whether the remote
     # compiler accepts them; only accepted ones are worth a full A/B
     ("lhs_off", {"xla_latency_hiding_scheduler_rerun": "0"}),

@@ -11,6 +11,10 @@ mkdir -p logs
 
 for i in $(seq 1 720); do
   grep -q "ALLDONE r3o" logs/run_hw_r3o.log 2>/dev/null && break
+  # fail fast if the r3o log never appears at all (mis-invocation:
+  # run_hw_r3o.sh relies on the caller redirecting stdout there)
+  [ $i -gt 10 ] && [ ! -f logs/run_hw_r3o.log ] && {
+    echo "logs/run_hw_r3o.log absent; r3o not running - aborting r3q"; exit 1; }
   sleep 30
 done
 grep -q "ALLDONE r3o" logs/run_hw_r3o.log || {
@@ -22,7 +26,7 @@ python -u tools/export_model.py \
   --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
   --out /tmp/vqa_int8.stablehlo --batch_size 1024 --use_pallas \
   --quantize int8 --check --bench 30 \
-  > logs/bench_serving_int8_r3.log 2>&1 || true
+  >> logs/bench_serving_int8_r3.log 2>&1 || true
 
 echo "=== int8 serving b64 ($(date))"
 python -u tools/export_model.py \
@@ -33,20 +37,13 @@ python -u tools/export_model.py \
   >> logs/bench_serving_int8_r3.log 2>&1 || true
 
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
-import json, os
+import sys
+sys.path.insert(0, "tools")
+from accuracy_proxies import make_roberta_vocab
 from volta_tpu import zoo
-from volta_tpu.data.bpe import bytes_to_unicode
 
-d = "/tmp/volta_synth_vqa/roberta_vocab"
-os.makedirs(d, exist_ok=True)
-vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
-for u in bytes_to_unicode().values():
-    vocab.setdefault(u, len(vocab))
-json.dump(vocab, open(os.path.join(d, "vocab.json"), "w"))
-open(os.path.join(d, "merges.txt"), "w").write("#version: 0.2\n")
-
-cfg = zoo.build("ctrl_uniter_base", model="roberta",
-                vocab_size=len(vocab) + 3)
+d, vs = make_roberta_vocab("/tmp/volta_synth_vqa")
+cfg = zoo.build("ctrl_uniter_base", model="roberta", vocab_size=vs + 3)
 open("/tmp/volta_synth_vqa/roberta_uniter.json", "w").write(
     cfg.to_json_string())
 EOF
