@@ -17,7 +17,7 @@ for b in 1 8 128 256; do
     --config_file configs/ctrl_uniter_base.json \
     --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
     --out /tmp/vqa_int8_b$b.stablehlo --batch_size $b --use_pallas \
-    --quantize int8 --bench 100 \
+    --quantize int8 --check --bench 100 \
     >> $LOG 2>&1 || true
   tail -1 $LOG
 done
@@ -28,7 +28,7 @@ for b in 128 256; do
     --config_file configs/ctrl_uniter_base.json \
     --tasks_config_file /tmp/volta_synth_vqa/tasks.yml --task 1 \
     --out /tmp/vqa_bf16_b$b.stablehlo --batch_size $b --use_pallas \
-    --bench 100 \
+    --check --bench 100 \
     >> $LOG 2>&1 || true
   tail -1 $LOG
 done
