@@ -55,9 +55,7 @@ def test_backward_kernel_vs_autodiff_with_mask():
     against autodiff of the reference composition."""
     rng = np.random.RandomState(1)
     n, d, rate = 32, 128, 0.25
-    # keep |o| away from 0 so the od!=0 mask recovery is exact
-    o = jnp.asarray(rng.randn(n, d) + np.sign(rng.randn(n, d)) * 0.5,
-                    jnp.float32)
+    o = jnp.asarray(rng.randn(n, d), jnp.float32)
     x = jnp.asarray(rng.randn(n, d), jnp.float32)
     scale = jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32)
     bias = jnp.asarray(0.1 * rng.randn(d), jnp.float32)
@@ -73,7 +71,7 @@ def test_backward_kernel_vs_autodiff_with_mask():
     var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + 1e-12)
 
-    res = (od, x, scale, mean, rstd, (n, d))
+    res = (od, mask.astype(od.dtype), x, scale, mean, rstd, (n, d))
     do, dx, dscale, dbias, _ = fr._bwd_call(rate, 1e-12, True, "pallas",
                                             res, g)
     # the XLA backward must agree with the Pallas backward kernel
@@ -99,7 +97,7 @@ def test_backward_kernel_vs_autodiff_with_mask():
     # math is covered by test_rate0_forward_backward_parity
     np.testing.assert_allclose(np.asarray(dx), np.asarray(r_dx),
                                atol=1e-2, rtol=1e-2)
-    # do: the kernel scales by keep/(1-rate) recovered from od!=0; the
+    # do: the kernel scales by the SAVED keep mask / (1-rate); the
     # autodiff reference also routes through the bf16 cast
     np.testing.assert_allclose(np.asarray(do), np.asarray(r_do),
                                atol=1e-2, rtol=1e-2)
@@ -144,3 +142,40 @@ def test_train_mode_cpu_fallback_statistics():
                  rngs={"dropout": jax.random.PRNGKey(3)})
     # y is LN of a 0/4 pattern; roughly half the inputs survive
     assert np.asarray(y).std() > 0.5
+
+
+def test_zero_activation_keeps_gradient():
+    """Regression for the round-2 advisor finding: an element that is
+    exactly 0.0 BEFORE dropout but kept by the mask must still receive
+    gradient. The old backward recovered the mask as ``od != 0`` and
+    silently zeroed it; the kernel now saves the mask explicitly. In
+    interpret mode the Mosaic PRNG yields all-zero bits -> every element
+    is kept, so any zero in ``o`` exercises the case deterministically.
+    (rate>0 needs the Mosaic simulator: plain interpret has no prng_seed
+    lowering.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(3)
+    n, d, rate = 16, 128, 0.25
+    o = jnp.asarray(rng.randn(n, d), jnp.float32).at[0, :8].set(0.0)
+    x = jnp.asarray(rng.randn(n, d), jnp.float32)
+    scale = jnp.ones((d,), jnp.float32)
+    bias = jnp.zeros((d,), jnp.float32)
+    g = jnp.ones((n, d), jnp.float32)
+
+    def f(o_):
+        return jnp.sum(fr.dropout_residual_ln(
+            o_, x, scale, bias, 0, rate,
+            interpret=pltpu.InterpretParams()) * g)
+
+    do = jax.grad(f)(o)
+    # all-kept (interpret PRNG): do == dx * 1/(1-rate) everywhere,
+    # INCLUDING the exact-zero positions
+    def f_ref(o_):
+        return jnp.sum(layer_norm_ref(o_ / (1.0 - rate) + x, scale, bias)
+                       * g)
+
+    do_ref = jax.grad(f_ref)(o)
+    np.testing.assert_allclose(np.asarray(do), np.asarray(do_ref),
+                               atol=2e-4, rtol=2e-4)
+    assert float(jnp.max(jnp.abs(do[0, :8]))) > 0.0

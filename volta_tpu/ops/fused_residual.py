@@ -10,11 +10,10 @@ the intermediate HBM round trips and the separate RNG pass.
 
 Forward: one row-tiled kernel draws the Bernoulli keep mask from the
 per-core PRNG, applies dropout, adds the residual, normalizes, and emits
-(y, dropped-in-o.dtype, mean, rstd). The *dropped* activations (not the mask)
-are the saved residual — the backward recovers the mask as ``od != 0``
-(an element that was exactly 0.0 before dropout loses its gradient; at
-bf16 dense outputs that event has measure ~0 and the reference's own
-fp16 apex path has the same property for underflowed activations).
+(y, dropped-in-o.dtype, keep-mask, mean, rstd). The mask is saved
+explicitly (0/1 in o.dtype) so the backward is exact even for elements
+that were exactly 0.0 before dropout — the earlier ``od != 0`` recovery
+silently dropped their gradient (round-2 advisor finding, now retired).
 Mosaic PRNG bits are not reproducible across separately compiled kernels
 (see CLAUDE.md), so the backward never regenerates the mask.
 
@@ -48,16 +47,19 @@ def _ln_rows(s, scale, bias, eps):
 
 
 def _fwd_kernel(seed_ref, o_ref, x_ref, scale_ref, bias_ref,
-                y_ref, od_ref, mean_ref, rstd_ref, *, rate, eps):
+                y_ref, od_ref, keep_ref, mean_ref, rstd_ref, *, rate, eps):
     o = o_ref[:].astype(jnp.float32)
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
         bits = pltpu.bitcast(pltpu.prng_random_bits(o.shape), jnp.uint32)
         keep = 1.0 - rate
         thresh = jnp.uint32(keep * 4294967295.0)
-        od = jnp.where(bits < thresh, o * (1.0 / keep), 0.0)
+        kept = bits < thresh
+        od = jnp.where(kept, o * (1.0 / keep), 0.0)
+        keep_ref[:] = kept.astype(keep_ref.dtype)
     else:
         od = o
+        keep_ref[:] = jnp.ones_like(o).astype(keep_ref.dtype)
     s = od + x_ref[:].astype(jnp.float32)
     y, mean, rstd = _ln_rows(s, scale_ref[:].astype(jnp.float32),
                              bias_ref[:].astype(jnp.float32), eps)
@@ -67,8 +69,8 @@ def _fwd_kernel(seed_ref, o_ref, x_ref, scale_ref, bias_ref,
     rstd_ref[:] = rstd
 
 
-def _bwd_kernel(g_ref, od_ref, x_ref, scale_ref, mean_ref, rstd_ref,
-                do_ref, dx_ref, dscale_ref, dbias_ref, *, rate):
+def _bwd_kernel(g_ref, od_ref, keep_ref, x_ref, scale_ref, mean_ref,
+                rstd_ref, do_ref, dx_ref, dscale_ref, dbias_ref, *, rate):
     g = g_ref[:].astype(jnp.float32)
     od = od_ref[:].astype(jnp.float32)
     s = od + x_ref[:].astype(jnp.float32)
@@ -80,8 +82,8 @@ def _bwd_kernel(g_ref, od_ref, x_ref, scale_ref, mean_ref, rstd_ref,
     ds = rstd * (gs - m1 - xhat * m2)
     dx_ref[:] = ds.astype(dx_ref.dtype)
     if rate > 0.0:
-        keep_scaled = jnp.where(od != 0.0, 1.0 / (1.0 - rate), 0.0)
-        do_ref[:] = (ds * keep_scaled).astype(do_ref.dtype)
+        keep = keep_ref[:].astype(jnp.float32)
+        do_ref[:] = (ds * keep * (1.0 / (1.0 - rate))).astype(do_ref.dtype)
     else:
         do_ref[:] = ds.astype(do_ref.dtype)
     t, d = g.shape
@@ -114,15 +116,16 @@ def _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret=False):
     o2 = o.reshape(n, d)
     x2 = x.reshape(n, d)
     tile = _pick_tile(n)
-    y, od, mean, rstd = pl.pallas_call(
+    y, od, keep, mean, rstd = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate, eps=eps),
         grid=(n // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   _row_blk(tile, d), _row_blk(tile, d),
                   _vec_blk(d), _vec_blk(d)],
-        out_specs=[_row_blk(tile, d), _row_blk(tile, d),
+        out_specs=[_row_blk(tile, d), _row_blk(tile, d), _row_blk(tile, d),
                    _stat_blk(tile), _stat_blk(tile)],
         out_shape=[
+            jax.ShapeDtypeStruct((n, d), o.dtype),
             jax.ShapeDtypeStruct((n, d), o.dtype),
             jax.ShapeDtypeStruct((n, d), o.dtype),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -130,7 +133,7 @@ def _fwd_call(o, x, scale, bias, seed_arr, rate, eps, interpret=False):
         ],
         interpret=interpret,
     )(seed_arr, o2, x2, scale, bias)
-    return y.reshape(o.shape), (od, x2, scale, mean, rstd, o.shape)
+    return y.reshape(o.shape), (od, keep, x2, scale, mean, rstd, o.shape)
 
 
 def _bwd_xla(rate, res, g):
@@ -138,7 +141,7 @@ def _bwd_xla(rate, res, g):
     the Pallas bwd kernel at base shapes (tools/microbench_resln.py — the
     bwd is reduction-heavy VPU work XLA schedules well), so it is the
     default; the Pallas bwd stays selectable via ``bwd_impl``."""
-    od, x2, scale, mean, rstd, orig_shape = res
+    od, keep, x2, scale, mean, rstd, orig_shape = res
     g2 = g.reshape(x2.shape).astype(jnp.float32)
     od32 = od.astype(jnp.float32)
     s = od32 + x2.astype(jnp.float32)
@@ -149,8 +152,8 @@ def _bwd_xla(rate, res, g):
     ds = rstd * (gs - m1 - xhat * m2)
     dx = ds.astype(g.dtype)
     if rate > 0.0:
-        do = (ds * jnp.where(od32 != 0.0, 1.0 / (1.0 - rate),
-                             0.0)).astype(g.dtype)
+        do = (ds * keep.astype(jnp.float32) *
+              (1.0 / (1.0 - rate))).astype(g.dtype)
     else:
         do = dx
     dscale = jnp.sum(g2 * xhat, axis=0)
@@ -165,7 +168,7 @@ def _bwd_xla(rate, res, g):
 def _bwd_call(rate, eps, interpret, bwd_impl, res, g):
     if bwd_impl == "xla":
         return _bwd_xla(rate, res, g)
-    od, x2, scale, mean, rstd, orig_shape = res
+    od, keep, x2, scale, mean, rstd, orig_shape = res
     n, d = x2.shape
     g2 = g.reshape(n, d)
     tile = _pick_tile(n)
@@ -174,6 +177,7 @@ def _bwd_call(rate, eps, interpret, bwd_impl, res, g):
         functools.partial(_bwd_kernel, rate=rate),
         grid=(ntiles,),
         in_specs=[_row_blk(tile, d), _row_blk(tile, d), _row_blk(tile, d),
+                  _row_blk(tile, d),
                   _vec_blk(d), _stat_blk(tile), _stat_blk(tile)],
         out_specs=[
             _row_blk(tile, d), _row_blk(tile, d),
@@ -189,7 +193,7 @@ def _bwd_call(rate, eps, interpret, bwd_impl, res, g):
             jax.ShapeDtypeStruct((ntiles, 8, d), jnp.float32),
         ],
         interpret=interpret,
-    )(g2, od, x2, scale, mean, rstd)
+    )(g2, od, keep, x2, scale, mean, rstd)
     import numpy as _np
 
     dseed = _np.zeros((1,), dtype=jax.dtypes.float0)
