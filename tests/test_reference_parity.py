@@ -399,7 +399,12 @@ def test_mlm_ce_parity():
     np.testing.assert_allclose(float(got), float(r), rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["ctrl_uniter_base", "ctrl_vilbert_base"])
+@pytest.mark.parametrize("name", [
+    "ctrl_uniter_base", "ctrl_vilbert_base",
+    # lxmert: text-only and vision-only attention sublayers exercise the
+    # absent-stream None entries and the single-flow (no split) paths
+    pytest.param("ctrl_lxmert", marks=pytest.mark.slow),
+])
 def test_attention_map_parity(name):
     """visualization=True attention-map capture vs the reference's
     output_all_attention_masks path (volta/encoders.py:342-358, 848-877):
