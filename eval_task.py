@@ -181,7 +181,10 @@ def main():
             split_name = args.split or tc["val_split"]
             path = os.path.join(args.output_dir,
                                 f"attn_{split_name}_{bi}.npz")
-            n = dump_attn_maps(attn_step(variables["params"], batch),
+            # question_id stays on host (string ids for GQA-style
+            # datasets are not jittable; see parallel/mesh.HOST_ONLY_KEYS)
+            jb = {k: v for k, v in batch.items() if k != "question_id"}
+            n = dump_attn_maps(attn_step(variables["params"], jb),
                                batch["question_id"], path)
             logger.info("wrote %d attention arrays to %s", n, path)
         out = eval_step(variables["params"], batch)
