@@ -498,3 +498,39 @@ def test_roberta_forward_parity(name):
                                r_v.numpy()[v_mask.astype(bool)], **TOL)
     np.testing.assert_allclose(np.asarray(pooled_t), r_pt.numpy(), **TOL)
     np.testing.assert_allclose(np.asarray(pooled_v), r_pv.numpy(), **TOL)
+
+
+def test_all_encoded_layers_parity():
+    """output_all_encoded_layers: the per-sublayer hidden-state capture
+    (reference: volta/encoders.py:879-888 appends after EVERY sublayer,
+    attn and ff alike). Ours returns the same lists in extras["all_t"] /
+    ["all_v"]; every entry must match torch."""
+    ref_model, sd, cfg, d = build_pair("ctrl_uniter_base", reduced=True,
+                                       seed=55)
+    inputs = make_inputs(d, seed=19)
+    ids, feats, locs, types, t_mask, v_mask = inputs
+
+    model = VoltaModel(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, feats, locs,
+                                 types, t_mask, v_mask)
+    params, report = import_state_dict(cfg, params, sd)
+    assert not report["skipped"], report["skipped"]
+
+    *_, extras = model.apply(params, ids, feats, locs, types, t_mask,
+                             v_mask, output_all_layers=True)
+
+    with torch.no_grad():
+        r_t, r_v, *_ = ref_model(*to_torch(*inputs),
+                                 output_all_encoded_layers=True)
+
+    assert len(extras["all_t"]) == len(r_t) == len(r_v) > 2
+    live_t = t_mask.astype(bool)
+    live_v = v_mask.astype(bool)
+    for li, (ot, ov, rt, rv) in enumerate(zip(extras["all_t"],
+                                              extras["all_v"], r_t, r_v)):
+        np.testing.assert_allclose(np.asarray(ot)[live_t],
+                                   rt.numpy()[live_t], **TOL,
+                                   err_msg=f"sublayer {li} text")
+        np.testing.assert_allclose(np.asarray(ov)[live_v],
+                                   rv.numpy()[live_v], **TOL,
+                                   err_msg=f"sublayer {li} vision")
