@@ -55,7 +55,9 @@ def parse_args():
 def dump_attn_maps(attn, qids, path):
     """Flatten the per-sublayer (t_data, v_data) dicts into one .npz with
     keys like ``s03_t_intra_attn`` ([B, H, Lq, Lk] f32) plus the batch's
-    question_ids for alignment."""
+    question_ids for alignment. For expanded processes (expand /
+    retrieval / dialog) the row axis is qid-major: rows
+    ``i*num_options .. (i+1)*num_options - 1`` belong to ``qids[i]``."""
     arrays = {"question_id": np.asarray(qids)}
     for li, (t_data, v_data) in enumerate(attn):
         for stream, data in (("t", t_data), ("v", v_data)):

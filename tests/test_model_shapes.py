@@ -163,3 +163,32 @@ def test_attention_probs_output():
     n_attn = len(set(cfg.tt_attn_sublayers) | set(cfg.tv_attn_sublayers) |
                  set(cfg.vt_attn_sublayers) | set(cfg.vv_attn_sublayers))
     assert len(extras["probs"]) == n_attn
+
+
+def test_visualization_train_mode():
+    """cfg.visualization must compose with train-mode dropout: probs are
+    captured post-dropout (reference volta/encoders.py:288-314) and
+    gradients still flow through the capturing forward."""
+    import jax.numpy as jnp
+
+    cfg = tiny_zoo("ctrl_vilbert_base")
+    cfg.visualization = True
+    cfg.attention_probs_dropout_prob = 0.1
+    cfg.hidden_dropout_prob = 0.1
+    model = VoltaModel(cfg)
+    ids, feats, locs, types, mask, vmask = batch(cfg)
+    params = init_model(model, ids, feats, locs, types, mask, vmask)
+
+    def loss(p):
+        seq_t, *_, extras = model.apply(
+            p, ids, feats, locs, types, mask, vmask, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        # capture rides along without being part of the loss
+        assert len(extras["probs"]) > 0
+        t_data, _ = extras["probs"][0]
+        assert t_data["intra_attn"] is not None
+        return jnp.sum(seq_t ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
