@@ -158,6 +158,21 @@ class VoltaConfig:
     # DEFAULT ON. Mask-consistency + negative-control validation in
     # tools/validate_tpu.py (logs/hw_validate_r3b.log).
     attn_natural_layout: bool = True
+    # Fused dual-stream tails: in two-stream sublayers (ViLBERT/LXMERT-style,
+    # no single_ln) run ONE dropout+residual+LayerNorm chain over the
+    # concatenated [text ‖ vision] sequence instead of two short per-stream
+    # chains, applying each stream's LN affine per segment (LayerNorm
+    # statistics are per-token, so the outputs are bit-identical — see
+    # tests/test_fused_dual_stream.py). Parameter-shared sublayers (LXMERT
+    # cross-attention) additionally compute QKV and the output projection
+    # over the concatenated sequence: one matmul each instead of two.
+    # Motivation: the round-4 lxmert trace showed 15.6 ms/step of
+    # elementwise loop fusions vs 9.4 ms for the fused single-stream path —
+    # the delta is exactly these duplicated short chains. Requires
+    # hidden_size == v_hidden_size and equal hidden dropout rates
+    # (all CTRL dual-stream configs qualify); falls back per-stream
+    # otherwise.
+    fuse_dual_stream: bool = True
 
     _KNOWN = None  # populated below
 

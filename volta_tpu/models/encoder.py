@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from ..config import VoltaConfig, SublayerSpec
 from ..ops import attention as attn_ops
-from .layers import ACT2FN, LayerNorm, dense
+from .layers import ACT2FN, LayerNorm, dense, residual_ln_seg
 
 
 def _dtype(cfg: VoltaConfig):
@@ -186,23 +186,57 @@ class GatedAttentionSublayer(nn.Module):
             return y, ffn_mask
         return y
 
+    def _dual_fusable(self, output_probs: bool) -> bool:
+        """Dual-stream tail fusion (cfg.fuse_dual_stream): one concatenated
+        dropout+residual+LN chain — and, for parameter-shared sublayers, one
+        QKV / output projection — instead of two per-stream ones."""
+        spec, cfg = self.spec, self.cfg
+        if not (cfg.fuse_dual_stream and spec.has_text and spec.has_vision
+                and not spec.single_ln and not output_probs):
+            return False
+        if cfg.hidden_size != cfg.v_hidden_size:
+            return False
+        if spec.share_params:
+            return spec.attn_hidden_size == spec.v_attn_hidden_size
+        # the segmented chain bypasses the LN-internal kernel opt-ins and
+        # shares one mask draw; keep those paths reachable / rates sane
+        if cfg.use_pallas_layernorm or cfg.use_fused_residual_ln \
+                or cfg.use_pallas_dropout_mask:
+            return False
+        return cfg.hidden_dropout_prob == cfg.v_hidden_dropout_prob
+
     def __call__(self, t, v, t_bias, v_bias, *, deterministic: bool = True,
                  output_probs: bool = False):
         spec = self.spec
         t_probs = v_probs = None
         qt = kt = qv = kv = None
+        lt = t.shape[1]
+        fuse_dual = self._dual_fusable(output_probs)
 
-        if spec.has_text:
-            qt = _split_heads(self.query(t), spec.num_heads)
-            kt = _split_heads(self.key(t), spec.num_heads)
-            vt = _split_heads(self.value(t), spec.num_heads)
-        if spec.has_vision:
-            vq_mod = self.query if spec.share_params else self.v_query
-            vk_mod = self.key if spec.share_params else self.v_key
-            vv_mod = self.value if spec.share_params else self.v_value
-            qv = _split_heads(vq_mod(v), spec.v_num_heads)
-            kv = _split_heads(vk_mod(v), spec.v_num_heads)
-            vv = _split_heads(vv_mod(v), spec.v_num_heads)
+        if fuse_dual and spec.share_params:
+            # shared weights: one QKV matmul over [text ‖ vision] replaces
+            # the two per-stream applications of the same Linear
+            # (reference runs it twice, volta/encoders.py:258-281)
+            x = jnp.concatenate([t, v], axis=1)
+            q_all, k_all, v_all = self.query(x), self.key(x), self.value(x)
+            qt = _split_heads(q_all[:, :lt], spec.num_heads)
+            kt = _split_heads(k_all[:, :lt], spec.num_heads)
+            vt = _split_heads(v_all[:, :lt], spec.num_heads)
+            qv = _split_heads(q_all[:, lt:], spec.v_num_heads)
+            kv = _split_heads(k_all[:, lt:], spec.v_num_heads)
+            vv = _split_heads(v_all[:, lt:], spec.v_num_heads)
+        else:
+            if spec.has_text:
+                qt = _split_heads(self.query(t), spec.num_heads)
+                kt = _split_heads(self.key(t), spec.num_heads)
+                vt = _split_heads(self.value(t), spec.num_heads)
+            if spec.has_vision:
+                vq_mod = self.query if spec.share_params else self.v_query
+                vk_mod = self.key if spec.share_params else self.v_key
+                vv_mod = self.value if spec.share_params else self.v_value
+                qv = _split_heads(vq_mod(v), spec.v_num_heads)
+                kv = _split_heads(vk_mod(v), spec.v_num_heads)
+                vv = _split_heads(vv_mod(v), spec.v_num_heads)
 
         t_ctx = v_ctx = None
         if spec.has_text:
@@ -240,6 +274,26 @@ class GatedAttentionSublayer(nn.Module):
         t_rate = cfg.hidden_dropout_prob
         v_rate = cfg.hidden_dropout_prob if spec.share_params \
             else cfg.v_hidden_dropout_prob
+        if fuse_dual:
+            r = jnp.concatenate([t, v], axis=1)
+            if spec.share_params:
+                # shared output projection + shared LN: the plain residual-
+                # mode LN call on the concatenated sequence is bit-equal to
+                # two per-stream calls (per-token statistics)
+                o = self.out_dense(jnp.concatenate([t_ctx, v_ctx], axis=1))
+                y = self.out_ln(o, residual=r, drop_rate=t_rate,
+                                deterministic=deterministic)
+            else:
+                o = jnp.concatenate(
+                    [self.out_dense(t_ctx), self.v_out_dense(v_ctx)], axis=1)
+                rng = self.make_rng("dropout") \
+                    if (not deterministic and t_rate > 0.0) else None
+                y = residual_ln_seg(
+                    o, r, self.out_ln.scale, self.out_ln.bias,
+                    self.v_out_ln.scale, self.v_out_ln.bias, lt,
+                    rate=t_rate, rng=rng, deterministic=deterministic,
+                    hash_mask=cfg.use_hash_dropout, eps=self.out_ln.eps)
+            return y[:, :lt], y[:, lt:], None
         if spec.has_text:
             t_o = self.out_dense(t_ctx)
         if spec.has_vision:
@@ -343,6 +397,22 @@ class GatedFeedForwardSublayer(nn.Module):
         self.hidden_drop = nn.Dropout(cfg.hidden_dropout_prob)
         self.v_hidden_drop = nn.Dropout(cfg.v_hidden_dropout_prob)
 
+    def _dual_fusable(self) -> bool:
+        """Same fusion decision as GatedAttentionSublayer._dual_fusable,
+        for the feed-forward tail."""
+        spec, cfg = self.spec, self.cfg
+        if not (cfg.fuse_dual_stream and spec.has_t_ff and spec.has_v_ff
+                and not spec.single_ln):
+            return False
+        if cfg.hidden_size != cfg.v_hidden_size:
+            return False
+        if spec.share_params:
+            return True
+        if cfg.use_pallas_layernorm or cfg.use_fused_residual_ln \
+                or cfg.use_pallas_dropout_mask:
+            return False
+        return cfg.hidden_dropout_prob == cfg.v_hidden_dropout_prob
+
     def __call__(self, t, v, *, deterministic: bool = True):
         cfg, spec = self.cfg, self.spec
         act = ACT2FN[cfg.hidden_act]
@@ -350,6 +420,27 @@ class GatedFeedForwardSublayer(nn.Module):
         t_rate = cfg.hidden_dropout_prob
         v_rate = cfg.hidden_dropout_prob if spec.share_params \
             else cfg.v_hidden_dropout_prob
+        lt = t.shape[1]
+        if self._dual_fusable():
+            if spec.share_params:
+                # shared FFN + shared LN: whole sublayer over [text ‖ vision]
+                x = jnp.concatenate([t, v], axis=1)
+                y = self.out_ln(self.out_dense(act(self.inter_dense(x))),
+                                residual=x, drop_rate=t_rate,
+                                deterministic=deterministic)
+            else:
+                o = jnp.concatenate(
+                    [self.out_dense(act(self.inter_dense(t))),
+                     self.v_out_dense(v_act(self.v_inter_dense(v)))], axis=1)
+                rng = self.make_rng("dropout") \
+                    if (not deterministic and t_rate > 0.0) else None
+                y = residual_ln_seg(
+                    o, jnp.concatenate([t, v], axis=1),
+                    self.out_ln.scale, self.out_ln.bias,
+                    self.v_out_ln.scale, self.v_out_ln.bias, lt,
+                    rate=t_rate, rng=rng, deterministic=deterministic,
+                    hash_mask=cfg.use_hash_dropout, eps=self.out_ln.eps)
+            return y[:, :lt], y[:, lt:]
         if spec.has_t_ff:
             t_o = self.out_dense(act(self.inter_dense(t)))
         if spec.has_v_ff:

@@ -101,11 +101,16 @@ class LayerNorm(nn.Module):
     pallas_mask: bool = False
     hash_mask: bool = False
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so sibling modules can read the
+        # affine params for the fused dual-stream chain (encoder.py) —
+        # param names/paths are unchanged.
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
     def __call__(self, x, residual=None, *, drop_rate: float = 0.0,
                  deterministic: bool = True, keep_mask=None):
-        scale = self.param("scale", nn.initializers.ones, (self.dim,))
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        scale, bias = self.scale, self.bias
         if residual is None:
             if self.use_pallas:
                 from ..ops.layernorm import fused_layer_norm
@@ -165,6 +170,37 @@ class LayerNorm(nn.Module):
             from ..ops.layernorm import fused_layer_norm
             return fused_layer_norm(s, scale, bias, eps=self.eps)
         return layer_norm_ref(s, scale, bias, eps=self.eps)
+
+
+def residual_ln_seg(o, res, scale_t, bias_t, scale_v, bias_v, lt: int, *,
+                    rate: float, rng, deterministic: bool, hash_mask: bool,
+                    eps: float = LN_EPS):
+    """One dropout+residual+LayerNorm chain over a [text ‖ vision]
+    concatenated sequence whose two segments own *different* LN affines.
+
+    LayerNorm statistics are per-token, so normalising the concatenated
+    tensor is bit-identical to normalising each stream separately; the
+    per-stream scale/bias are applied as a per-position affine built by
+    broadcast+concat (constant-shaped, fused by XLA into the same
+    elementwise loop). This halves the number of short elementwise chains
+    in dual-stream sublayers (reference semantics:
+    volta/encoders.py:398-424 per stream)."""
+    if (not deterministic) and rate > 0.0:
+        o = hash_dropout(o, rng, rate) if hash_mask else \
+            int_threshold_dropout(o, rng, rate)
+    s = o + res
+    dtype = s.dtype
+    x32 = s.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    dim = s.shape[-1]
+    lv = s.shape[-2] - lt
+    cat = lambda a, b: jnp.concatenate(
+        [jnp.broadcast_to(a.astype(jnp.float32), (lt, dim)),
+         jnp.broadcast_to(b.astype(jnp.float32), (lv, dim))], axis=0)
+    y = y * cat(scale_t, scale_v) + cat(bias_t, bias_v)
+    return y.astype(dtype)
 
 
 def int_threshold_dropout(x, key, rate: float):
