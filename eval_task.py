@@ -52,13 +52,16 @@ def parse_args():
     return p.parse_args()
 
 
-def dump_attn_maps(attn, qids, path):
+def dump_attn_maps(attn, qids, path, row_index=None):
     """Flatten the per-sublayer (t_data, v_data) dicts into one .npz with
     keys like ``s03_t_intra_attn`` ([B, H, Lq, Lk] f32) plus the batch's
-    question_ids for alignment. For expanded processes (expand /
-    retrieval / dialog) the row axis is qid-major: rows
-    ``i*num_options .. (i+1)*num_options - 1`` belong to ``qids[i]``."""
+    question_ids and, via ``row_index``
+    (task_utils.process_row_index), per-row provenance arrays —
+    ``row_qid_index`` / ``row_option`` / ``row_round`` — so expanded
+    processes (expand / retrieval / nlvr / dialog) are self-describing."""
     arrays = {"question_id": np.asarray(qids)}
+    for k, v in (row_index or {}).items():
+        arrays[k] = np.asarray(v)
     for li, (t_data, v_data) in enumerate(attn):
         for stream, data in (("t", t_data), ("v", v_data)):
             for key, val in data.items():
@@ -186,8 +189,10 @@ def main():
             # question_id stays on host (string ids for GQA-style
             # datasets are not jittable; see parallel/mesh.HOST_ONLY_KEYS)
             jb = {k: v for k, v in batch.items() if k != "question_id"}
+            from volta_tpu.task_utils import process_row_index
             n = dump_attn_maps(attn_step(variables["params"], jb),
-                               batch["question_id"], path)
+                               batch["question_id"], path,
+                               row_index=process_row_index(tc, batch))
             logger.info("wrote %d attention arrays to %s", n, path)
         out = eval_step(variables["params"], batch)
         # predictions must come to host per batch (they are the output);

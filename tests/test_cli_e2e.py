@@ -422,6 +422,9 @@ def test_eval_dump_attn_cli(workdir):
     t_intra = z["s00_t_intra_attn"]
     t_inter = z["s00_t_inter_attn"]
     assert "question_id" in z
+    # self-describing row provenance (normal process: identity map)
+    np.testing.assert_array_equal(z["row_qid_index"],
+                                  np.arange(len(z["question_id"])))
     assert t_intra.ndim == 4 and t_inter.ndim == 4  # [B, H, Lq, Lk]
     assert t_intra.shape[:3] == t_inter.shape[:3]
     # joint softmax: tt and tv rows sum to 1 together

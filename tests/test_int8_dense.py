@@ -225,3 +225,38 @@ def test_int8_export_bf16_residuals(tmp_path):
                         batch[3], batch[4], batch[5])
     fp = np.asarray(fp, np.float32)
     assert np.abs(out - fp).max() < 0.2 * (np.abs(fp).max() + 1e-6)
+
+
+def test_calibration_empty_and_union_merge():
+    """ADVICE r4: empty batches must raise cleanly, and batches that
+    exercise different Dense sets merge over the union of keys."""
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        calibrate_activation_scales(lambda v, *b: None, {}, [])
+
+    import flax.linen as nn
+
+    class TwoHead(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # static shape dispatch: each batch shape drives one Dense
+            if x.shape[1] == 3:
+                return nn.Dense(4, name="head_a")(x)
+            return nn.Dense(4, name="head_b")(x)
+
+    m = TwoHead()
+    xa = np.ones((2, 3), np.float32) * 2.0
+    xb = np.ones((2, 5), np.float32) * 5.0
+    variables = {
+        "params": {**m.init(jax.random.PRNGKey(0), xa)["params"],
+                   **m.init(jax.random.PRNGKey(1), xb)["params"]}}
+
+    # one batch drives head_a, the other head_b: both keys must survive
+    scales = calibrate_activation_scales(
+        lambda v, x: m.apply(v, x), variables, [(xa,), (xb,)])
+    keys = {k.split("/")[-1] for k in scales}
+    assert keys == {"head_a", "head_b"}, scales
+    by_tail = {k.split("/")[-1]: v for k, v in scales.items()}
+    np.testing.assert_allclose(by_tail["head_a"], 2.0 / 127.0, rtol=1e-5)
+    np.testing.assert_allclose(by_tail["head_b"], 5.0 / 127.0, rtol=1e-5)

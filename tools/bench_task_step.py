@@ -48,6 +48,11 @@ def main():
                    help="capture a jax.profiler trace of the timed "
                         "device-only loop into this directory (analyze "
                         "with tools/analyze_trace.py)")
+    p.add_argument("--set", nargs="*", default=[], dest="overrides",
+                   metavar="KEY=VALUE",
+                   help="VoltaConfig overrides for A/Bs, e.g. "
+                        "fuse_dual_stream=false (values parsed as JSON, "
+                        "falling back to string)")
     args = p.parse_args()
 
     import jax
@@ -66,6 +71,17 @@ def main():
 
     cfg = VoltaConfig.from_json_file(args.config_file)
     cfg.compute_dtype = args.compute_dtype
+    for kv in args.overrides:
+        key, _, val = kv.partition("=")
+        if not hasattr(cfg, key):
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        import json as _json
+        try:
+            val = _json.loads(val)
+        except ValueError:
+            pass
+        setattr(cfg, key, val)
+        print(f"override: cfg.{key} = {val!r}")
     task_cfg = load_task_config(args.tasks_config_file)
     task = task_key(args.task)
     tc = task_cfg[task]

@@ -62,6 +62,17 @@ def main():
     p.add_argument("--calibrate_batches", type=int, default=2,
                    help="int8_static: number of random calibration "
                         "batches (seeds disjoint from the --check batch)")
+    p.add_argument("--calib_npz", default="",
+                   help="int8_static: npz of REAL eval batches for "
+                        "calibration and the --check comparison (keys "
+                        "input_ids/image_feat/image_loc/token_type_ids/"
+                        "attention_mask/image_attention_mask, each with a "
+                        "leading batch-of-batches axis; dump them from an "
+                        "eval loader). Without it, calibration uses "
+                        "synthetic random batches — adequate for "
+                        "benchmarking, but real-data activation outliers "
+                        "beyond the synthetic range would clip silently, "
+                        "so use real batches for production artifacts")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a zero batch")
     p.add_argument("--bench", type=int, default=0,
@@ -120,6 +131,19 @@ def main():
         b[5] = np.ones_like(b[5])
         return b
 
+    calib_batches = None
+    if args.calib_npz:
+        z = np.load(args.calib_npz)
+        keys = ("input_ids", "image_feat", "image_loc", "token_type_ids",
+                "attention_mask", "image_attention_mask")
+        missing = [k for k in keys if k not in z]
+        if missing:
+            raise SystemExit(f"--calib_npz missing arrays: {missing}")
+        arrs = [z[k] for k in keys]
+        calib_batches = [[a[i] for a in arrs] for i in range(arrs[0].shape[0])]
+        print(f"calibrating on {len(calib_batches)} real batches "
+              f"from {args.calib_npz}")
+
     act_scales = None
     if args.quantize == "int8_static":
         from volta_tpu.ops.int8_dense import calibrate_activation_scales
@@ -127,6 +151,7 @@ def main():
             v, b[0], b[1], b[2], task, b[3], b[4], b[5])
         act_scales = calibrate_activation_scales(
             apply_fn, variables,
+            calib_batches if calib_batches is not None else
             [rand_batch(s + 1) for s in range(args.calibrate_batches)])
         print(f"calibrated {len(act_scales)} activation scales")
 
@@ -155,8 +180,10 @@ def main():
         print(f"check OK: output {out.shape} {out.dtype}, "
               f"|mean|={abs(float(out.astype(np.float32).mean())):.4f}")
         if args.quantize:
-            # seed 0 is disjoint from the calibration seeds (1..N)
-            rand = rand_batch(0)
+            # prefer a real held-out batch (the last calib_npz batch);
+            # else seed 0, disjoint from the calibration seeds (1..N)
+            rand = calib_batches[-1] if calib_batches is not None \
+                else rand_batch(0)
             qlog = np.asarray(call(*rand), np.float32)
             flog = np.asarray(jax.jit(
                 lambda v, *b: model.apply(

@@ -80,17 +80,84 @@ def forward_flops(cfg: VoltaConfig, lt: int, regions: int,
     return f
 
 
-def report(path, lt, regions, pairs_per_s):
+def encoder_flops(cfg: VoltaConfig, lt: int, regions: int) -> float:
+    """forward_flops minus poolers/classifier: the shared trunk."""
+    lv = regions + (1 if cfg.add_global_imgfeat else 0)
+    h, vh = cfg.hidden_size, cfg.v_hidden_size
+    f = matmul_flops(lv, vh, cfg.v_feature_size)
+    for spec in cfg.sublayer_plan():
+        if spec.kind == "attn":
+            ah, vah = spec.attn_hidden_size, spec.v_attn_hidden_size
+            if spec.has_text:
+                f += 3 * matmul_flops(lt, ah, h)
+                st = (lt if spec.has_tt else 0) + (lv if spec.has_tv else 0)
+                f += 2 * matmul_flops(lt, st, ah)
+                f += matmul_flops(lt, h, ah)
+            if spec.has_vision:
+                f += 3 * matmul_flops(lv, vah, vh)
+                sv = (lt if spec.has_vt else 0) + (lv if spec.has_vv else 0)
+                f += 2 * matmul_flops(lv, sv, vah)
+                f += matmul_flops(lv, vh, vah)
+        else:
+            if spec.has_t_ff:
+                f += 2 * matmul_flops(lt, spec.intermediate_size, h)
+            if spec.has_v_ff:
+                f += 2 * matmul_flops(lv, spec.v_intermediate_size, vh)
+    return f
+
+
+# losses.PRE_VIS_TARGETS: prediction-head output dims per objective key
+PRE_VIS_DIMS = {"0": 1601, "1": 2048, "2": 2048, "3": 1600, "4": 400,
+                "5": 2048, "6": 1601}
+
+
+def pretrain_flops(cfg: VoltaConfig, lt: int, regions: int,
+                   batch: int, objectives=None) -> float:
+    """Forward FLOPs per pair of the CC pretraining step
+    (BertForVLPreTraining heads on top of the trunk): MLM transform +
+    30k-vocab tied decoder, per-objective image prediction heads, poolers
+    + ITM binary head. NCE ("2") adds the all-pairs [b*r, d] x [d, b*r]
+    candidate score matmul (losses.nce_2048) — a per-BATCH cost quadratic
+    in b*r, reported per pair. reference shapes:
+    /root/reference/train_concap.py:60-68 (b512 seq36 r36+global)."""
+    lv = regions + (1 if cfg.add_global_imgfeat else 0)
+    h, vh = cfg.hidden_size, cfg.v_hidden_size
+    f = encoder_flops(cfg, lt, regions)
+    # MLM head: transform dense [lt, h, h] + tied vocab decoder
+    f += matmul_flops(lt, h, h)
+    f += matmul_flops(lt, cfg.vocab_size, h)
+    # image prediction heads (one Linear per enabled target)
+    weights = objectives or cfg.visual_target_weights
+    for key in weights:
+        f += matmul_flops(lv, PRE_VIS_DIMS[str(key)], vh)
+        if str(key) == "2":  # NCE all-pairs scores + positive scores
+            f += 2.0 * (batch * lv) ** 2 * 2048 / batch
+            f += matmul_flops(lv, 1, 2048)
+    # poolers + ITM binary head
+    f += matmul_flops(1, cfg.pooler_size, h)
+    f += matmul_flops(1, cfg.v_pooler_size, vh)
+    f += matmul_flops(1, 2, cfg.pooler_size)
+    return f
+
+
+def report(path, lt, regions, pairs_per_s, pretrain=False, batch=512,
+           objectives=None):
     cfg = VoltaConfig.from_json_file(path)
     name = os.path.splitext(os.path.basename(path))[0]
-    fwd = forward_flops(cfg, lt, regions)
+    if pretrain:
+        fwd = pretrain_flops(cfg, lt, regions, batch,
+                             objectives=objectives)
+    else:
+        fwd = forward_flops(cfg, lt, regions)
     train = 3.0 * fwd
     row = {
         "config": name,
         "fwd_gflop_per_pair": round(fwd / 1e9, 2),
         "train_gflop_per_pair": round(train / 1e9, 2),
     }
-    rate = pairs_per_s or MEASURED.get(name)
+    if pretrain:
+        row["mode"] = f"pretrain[{','.join(objectives or cfg.visual_target_weights)}]"
+    rate = pairs_per_s or (None if pretrain else MEASURED.get(name))
     if rate:
         tf = train * rate / 1e12
         row.update(pairs_per_s=rate, tflops=round(tf, 1),
@@ -105,15 +172,27 @@ def main():
     p.add_argument("--regions", type=int, default=36)
     p.add_argument("--pairs_per_s", type=float, default=None)
     p.add_argument("--all", action="store_true")
+    p.add_argument("--pretrain", action="store_true",
+                   help="CC pretraining step FLOPs (MLM decoder + MRM "
+                        "heads + ITM; use --lt 38 --batch 512)")
+    p.add_argument("--batch", type=int, default=512,
+                   help="pretrain: global batch (NCE all-pairs term)")
+    p.add_argument("--objectives", nargs="*", default=None,
+                   help="pretrain: visual objective keys (default: the "
+                        "config's visual_target_weights)")
     args = p.parse_args()
 
     if args.all:
         root = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "configs")
         for path in sorted(glob.glob(os.path.join(root, "*.json"))):
-            report(path, args.lt, args.regions, None)
+            report(path, args.lt, args.regions, None,
+                   pretrain=args.pretrain, batch=args.batch,
+                   objectives=args.objectives)
     else:
-        report(args.config, args.lt, args.regions, args.pairs_per_s)
+        report(args.config, args.lt, args.regions, args.pairs_per_s,
+               pretrain=args.pretrain, batch=args.batch,
+               objectives=args.objectives)
 
 
 if __name__ == "__main__":

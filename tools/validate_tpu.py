@@ -77,6 +77,21 @@ def main():
     assert err < 0.5, err
     print(f"hidden-mask kernel OK (keep {keep_frac:.3f}, E[out] err {err:.3f})")
 
+    # 2c. TP seed derivation A/B: the per-device stride offsets applied by
+    # parallel/tp.shard_dropout_attention (data +100003, model +393241)
+    # must yield a *different* mask set at the *same* keep rate — i.e.
+    # TP=2-style seeds decorrelate replicas without biasing dropout.
+    m_base = np.asarray(fhm(555)[1], dtype=np.float32)
+    for axis, stride in (("data", 100003), ("model", 393241)):
+        m_off = np.asarray(fhm(555 + stride)[1], dtype=np.float32)
+        keep_b, keep_o = m_base.mean(), m_off.mean()
+        assert abs(keep_b - keep_o) < 0.01, (axis, keep_b, keep_o)
+        agree = (m_base == m_off).mean()
+        iid = keep_b * keep_o + (1 - keep_b) * (1 - keep_o)
+        assert abs(agree - iid) < 0.01, (axis, agree, iid)
+        print(f"TP {axis}-offset seed OK (keep {keep_o:.3f}, "
+              f"agree {agree:.3f} vs iid {iid:.3f})")
+
     def fhm_lin(vv):
         out, _, _ = pa.pallas_dropout_attention_hm(
             q, k, vv, bias, scale, rate, h_rate, 77)

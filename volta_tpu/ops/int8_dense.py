@@ -105,8 +105,17 @@ def calibrate_activation_scales(apply_fn, variables, batches):
     out = None
     for batch in batches:
         r = {k: float(v) for k, v in jrun(variables, *batch).items()}
-        out = r if out is None else \
-            {k: max(out[k], r[k]) for k in r}
+        if out is None:
+            out = r
+        else:
+            # merge over the union of keys: different batches (e.g. of
+            # different task shapes) may exercise different Dense sets
+            for k, v in r.items():
+                out[k] = max(out.get(k, 0.0), v)
+    if out is None:
+        raise ValueError(
+            "calibrate_activation_scales: empty `batches` iterable — at "
+            "least one calibration batch is required")
     return {k: v / 127.0 + 1e-12 for k, v in out.items()}
 
 

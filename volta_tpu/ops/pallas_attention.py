@@ -34,7 +34,11 @@ def interpret_mode():
     multichip dryrun — no TPU required. Caveat: the simulator's
     ``prng_random_bits`` returns all-zero bits, so dropout masks degenerate
     to keep-everything; equivalence tests must compare at rate 0 (exact) or
-    treat rate>0 as plumbing-only coverage."""
+    treat rate>0 as plumbing-only coverage. The RNG itself is verified
+    off-device at the bit level in tests/test_tp_dropout_rng.py (seed
+    disjointness across device/program grids incl. int32 wraparound +
+    stride-offset whiteness) and on hardware by tools/validate_tpu.py
+    check 2c (TP seed offsets change the mask set, keep rate preserved)."""
     prev = _INTERPRET[0]
     _INTERPRET[0] = True
     try:

@@ -226,6 +226,38 @@ def process_batch(task_cfg: Dict[str, Any], batch: Dict[str, Any]
     return inputs, info
 
 
+def process_row_index(task_cfg: Dict[str, Any], batch: Dict[str, Any]
+                      ) -> Dict[str, Any]:
+    """Per-row provenance for process-expanded model batches.
+
+    Mirrors ``process_batch``'s reshapes: for every row of the expanded
+    model batch, which host-batch entry it came from (``row_qid_index``,
+    an index into the batch's ``question_id``), which option
+    (``row_option`` — VCR answer choice / retrieval way / NLVR2 image),
+    and which dialog round (``row_round``). Written into the --dump_attn
+    npz so visualization consumers can reconstruct per-question alignment
+    without knowing the process semantics."""
+    import numpy as np
+
+    process = task_cfg.get("process", "normal")
+    b = np.asarray(batch["features"]).shape[0]
+    q = np.asarray(batch["question"])
+    if process in ("expand", "retrieval"):
+        no = q.shape[1]
+        r = np.arange(b * no)
+        return {"row_qid_index": r // no, "row_option": r % no}
+    if process == "nlvr":
+        r = np.arange(b * 2)
+        return {"row_qid_index": r // 2, "row_option": r % 2}
+    if process == "dialog":
+        nround, no = q.shape[1], q.shape[2]
+        r = np.arange(b * nround * no)
+        return {"row_qid_index": r // (nround * no),
+                "row_round": (r // no) % nround,
+                "row_option": r % no}
+    return {"row_qid_index": np.arange(b)}
+
+
 # ------------------------------------------------------------- loss/score
 def soft_score_with_logits(logits, targets):
     """One-hot(argmax) . soft targets (reference:
