@@ -161,3 +161,47 @@ def make_retrieval_annotations(tmpdir, image_ids, sentences_per=2):
                 "sentences": ["a dog plays with a ball"] * sentences_per,
             }) + "\n")
     return path
+
+
+def make_concap_shards(tmpdir, n_per_shard=16, shards=2, num_boxes=5,
+                       feature_size=32, seed=3):
+    """Per-rank CC LMDB shards (reference naming
+    ``training_feat_part_<rank>.lmdb``, concept_cap_dataset.py:194-198)
+    with disjoint records + one merged caption file."""
+    from volta_tpu.data import serialization
+
+    feats_dir = os.path.join(tmpdir, "imgfeats")
+    ann_dir = os.path.join(tmpdir, "annotations")
+    os.makedirs(feats_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    captions = {}
+    for s in range(shards):
+        rng = np.random.RandomState(seed + 17 * s)
+        items, keys = [], []
+        for i in range(n_per_shard):
+            gid = s * n_per_shard + i
+            key = serialization.tensorpack_key(i)
+            keys.append(key)
+            feats = rng.randn(num_boxes, feature_size).astype(np.float32)
+            cls_prob = np.abs(rng.rand(num_boxes, 1601)).astype(np.float32)
+            cls_prob /= cls_prob.sum(-1, keepdims=True)
+            attr_scores = np.abs(rng.rand(num_boxes, 401)).astype(np.float32)
+            x1 = rng.rand(num_boxes, 1) * 300
+            y1 = rng.rand(num_boxes, 1) * 200
+            boxes = np.concatenate(
+                [x1, y1, x1 + 50, y1 + 40], 1).astype(np.float32)
+            caption = "a red ball on the %s" % WORDS[gid % 6]
+            rec = [feats, cls_prob,
+                   rng.randint(0, 1600, (num_boxes,)).astype(np.int64),
+                   rng.rand(num_boxes).astype(np.float32),
+                   rng.randint(0, 400, (num_boxes,)).astype(np.int64),
+                   rng.rand(num_boxes).astype(np.float32),
+                   attr_scores, boxes, num_boxes, 480, 640, gid, caption]
+            items.append((key, serialization.dumps(rec)))
+            captions[str(gid)] = caption
+        items.append((b"__keys__", serialization.dumps(keys)))
+        lmdbx.write(os.path.join(feats_dir,
+                                 f"training_feat_part_{s}.lmdb"), items)
+    with open(os.path.join(ann_dir, "caption_train.json"), "w") as f:
+        json.dump(captions, f)
+    return feats_dir, ann_dir

@@ -93,3 +93,77 @@ def test_two_process_dp_matches_single_process(tmp_path):
         state, m = step(state, shard_batch(mesh, batch))
         ref_losses.append(float(m["loss"]))
     np.testing.assert_allclose(w0["losses"], ref_losses, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_pretraining_with_rank_shards(tmp_path):
+    """CC pretraining across 2 processes, each consuming its OWN per-rank
+    LMDB shard (training_feat_part_<rank>.lmdb, reference
+    concept_cap_dataset.py:194-198), under grad-accum 2 (MultiSteps).
+    Global-batch equivalence vs a single process consuming both shards
+    concatenated (VERDICT r5 #5)."""
+    import fixtures
+
+    data_dir = str(tmp_path / "cc")
+    os.makedirs(data_dir)
+    fixtures.make_concap_shards(data_dir, n_per_shard=16, shards=2)
+    fixtures.make_vocab(data_dir)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    port = "12747"
+    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "_mh_pretrain_worker.py"),
+         str(i), port, outs[i], data_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+    w0, w1 = (json.load(open(o)) for o in outs)
+    assert w0["process_count"] == 2
+    assert w0["n_local"] == 16  # each worker saw only its own shard
+    np.testing.assert_allclose(w0["losses"], w1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(w0["fingerprint"], w1["fingerprint"],
+                               rtol=1e-6)
+
+    # single-process reference: both shard loaders, batches concatenated
+    # pairwise in device(=process) order, same grad-accum step
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    from _mh_pretrain_worker import MICRO_STEPS, build_step, make_loader
+
+    from volta_tpu.parallel import make_mesh, shard_batch
+
+    loaders = [iter(make_loader(data_dir, shard_index=s)[1])
+               for s in range(2)]
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    b0, b1 = next(loaders[0]), next(loaders[1])
+    batch = {k: np.concatenate([b0[k], b1[k]]) for k in b0}
+    state, step = build_step(b0, mesh)
+    ref_losses = []
+    params_before_accum = None
+    for i in range(MICRO_STEPS):
+        if i == 0:
+            params_before_accum = jax.device_get(
+                jax.tree_util.tree_leaves(state.params)[0])
+        state, m = step(state, shard_batch(mesh, batch))
+        ref_losses.append(float(m["loss"]))
+        if i == 0:
+            # MultiSteps: after the FIRST micro-step params are unchanged
+            after = jax.device_get(
+                jax.tree_util.tree_leaves(state.params)[0])
+            np.testing.assert_array_equal(params_before_accum, after)
+        if i + 1 < MICRO_STEPS:
+            b0, b1 = next(loaders[0]), next(loaders[1])
+            batch = {k: np.concatenate([b0[k], b1[k]]) for k in b0}
+    np.testing.assert_allclose(w0["losses"], ref_losses, rtol=1e-5)
