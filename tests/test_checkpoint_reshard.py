@@ -98,15 +98,16 @@ def test_orbax_reshard_roundtrip(tmp_path):
         "embedding"]
     assert "model" in _spec_names(emb), emb.sharding
 
+    # reverse-migration save FIRST: the train step donates its input
+    # state's buffers, so state_b is consumed by step_b below
+    save_train_state(str(tmp_path / "b"), 2, state_b)
+
     # and the restored state trains: one further step, finite loss
     tx = build_optimizer("adamw", warmup_linear_schedule(1e-3, 2, 100),
                          params, clip_norm=1.0)
     step_b = make_task_train_step(model, tx, task_cfg, "TASK1", mesh=mesh_b)
     state_b2, metrics = step_b(state_b, shard_batch(mesh_b, batch))
     assert np.isfinite(float(metrics["loss"]))
-
-    # reverse migration: sharded save -> pure-DP restore
-    save_train_state(str(tmp_path / "b"), 2, state_b)
     mesh_c = make_mesh(n_data=8, n_model=1)
     target_c = _abstract_target(host_a, mesh_c)
     state_c, _ = restore_train_state(str(tmp_path / "b"), target_c)

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--seq", type=int, default=23)
     p.add_argument("--regions", type=int, default=37)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="int8 dynamic-quantized dense path (the serving "
+                        "winner at b64-128; ladder: VERDICT r5 #8)")
     args = p.parse_args()
 
     import jax
@@ -47,11 +50,26 @@ def main():
 
     dev = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
-    @jax.jit
-    def fwd(params, q, f, s, seg, im, vm):
-        pred, _ = model.apply({"params": params}, q, f, s, "TASK1",
-                              seg, im, vm, deterministic=True)
-        return jnp.sum(pred.astype(jnp.float32))
+    if args.quantize == "int8":
+        from volta_tpu.export import quantize_residual_dtype
+        from volta_tpu.ops.int8_dense import (apply_quantized,
+                                              quantize_variables)
+
+        rd = quantize_residual_dtype(cfg)
+        params = jax.jit(lambda v: quantize_variables(
+            v, residual_dtype=rd))({"params": params})
+
+        @jax.jit
+        def fwd(params, q, f, s, seg, im, vm):
+            pred, _ = apply_quantized(model, params, q, f, s, "TASK1",
+                                      seg, im, vm, deterministic=True)
+            return jnp.sum(pred.astype(jnp.float32))
+    else:
+        @jax.jit
+        def fwd(params, q, f, s, seg, im, vm):
+            pred, _ = model.apply({"params": params}, q, f, s, "TASK1",
+                                  seg, im, vm, deterministic=True)
+            return jnp.sum(pred.astype(jnp.float32))
 
     a = (dev["question"], dev["features"], dev["spatials"],
          dev["segment_ids"], dev["input_mask"], dev["image_mask"])
@@ -66,7 +84,8 @@ def main():
         "metric": "VQA eval forward (device-resident inputs)",
         "value": round(args.batch / dt, 1),
         "unit": f"pairs/sec/chip (b{args.batch} seq{args.seq} "
-                f"r{args.regions} bf16)",
+                f"r{args.regions} "
+                f"{args.quantize or 'bf16'})",
         "ms_per_call": round(dt * 1000, 2)}), flush=True)
 
 

@@ -47,6 +47,9 @@ def main():
     p.add_argument("--device_store", action="store_true",
                    help="features/targets resident in HBM; loader ships "
                         "indices + mask draws only")
+    p.add_argument("--trace", default=None,
+                   help="capture a jax.profiler trace of the timed "
+                        "device-only loop (first target) into this dir")
     args = p.parse_args()
 
     import jax
@@ -112,11 +115,16 @@ def main():
             state, m = step(state, batch)
             _ = float(m["loss"])
 
+        tracing = args.trace and tgt == args.targets[0]
+        if tracing:
+            jax.profiler.start_trace(args.trace)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, m = step(state, batch)
         _ = float(m["loss"])
         dt = time.perf_counter() - t0
+        if tracing:
+            jax.profiler.stop_trace()
         rate = args.batch_size * args.steps / dt / n_dev
         print(json.dumps({
             "metric": f"CC pretrain step ({tgt}, device-only)",

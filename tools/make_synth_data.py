@@ -441,6 +441,65 @@ def gen_visdial(args):
           flush=True)
 
 
+def gen_dense_caption(args):
+    """ReferDenseCaption (Visual-Genome region phrases) annotations over
+    an existing ``vqa`` features store: ``[{id, regions: [{phrase,
+    region_id, x, y, width, height}]}]`` (reference:
+    volta/datasets/refer_dense_caption.py layout)."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    anns = []
+    rid = 0
+    n_images = max(1, args.questions // 3)
+    for _ in range(n_images):
+        iid = 1000000 + int(rng.randint(args.images))
+        regions = []
+        for _r in range(3):
+            x, y = int(rng.randint(0, 500)), int(rng.randint(0, 380))
+            regions.append({
+                "phrase": " ".join(WORD_STEMS[int(j)] for j in
+                                   rng.randint(0, len(WORD_STEMS), 4)),
+                "region_id": rid, "x": x, "y": y,
+                "width": int(rng.randint(30, 140)),
+                "height": int(rng.randint(30, 100))})
+            rid += 1
+        anns.append({"id": iid, "regions": regions})
+    with open(os.path.join(args.out, "region_descriptions.json"),
+              "w") as f:
+        json.dump(anns, f)
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"dense_caption synth done -> {args.out} "
+          f"({n_images} images, {rid} regions)", flush=True)
+
+
+def gen_madlibs(args):
+    """Visual Madlibs fill-in-the-blank annotations over an existing
+    ``vqa`` features store: ``[{image_id, question, labels, scores,
+    question_id}]`` soft-target records (reference:
+    volta/datasets/vismadlibs_dataset.py layout)."""
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    anns = []
+    for q in range(args.questions):
+        iid = 1000000 + int(rng.randint(args.images))
+        k = int(rng.randint(1, 3))
+        labels = sorted(int(x) for x in
+                        rng.choice(args.num_labels, k, replace=False))
+        anns.append({
+            "image_id": iid,
+            "question": " ".join(WORD_STEMS[int(j)] for j in
+                                 rng.randint(0, len(WORD_STEMS), 5)),
+            "labels": labels,
+            "scores": [float(rng.choice([0.3, 0.6, 0.9, 1.0]))
+                       for _ in range(k)],
+            "question_id": q})
+    with open(os.path.join(args.out, "madlibs_train.json"), "w") as f:
+        json.dump(anns, f)
+    make_vocab(os.path.join(args.out, "vocab.txt"))
+    print(f"madlibs synth done -> {args.out} ({args.questions} blanks)",
+          flush=True)
+
+
 def gen_snli_ve(args):
     """SNLI-VE-layout annotations over an existing ``vqa`` features store:
     jsonl with Flickr30K_ID / sentence2 / annotator_labels (reference:
@@ -642,7 +701,8 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("vqa", "cc", "gqa", "retrieval", "vcr", "nlvr2",
                  "visual7w", "snli_ve", "refcoco", "guesswhat",
-                 "flickr_grounding", "visdial"):
+                 "flickr_grounding", "visdial", "dense_caption",
+                 "madlibs"):
         sp = sub.add_parser(name)
         sp.add_argument("--out", required=True)
         sp.add_argument("--images", type=int, default=20000)
@@ -657,8 +717,11 @@ def main():
             sp.add_argument("--num_labels", type=int, default=1843)
         if name == "retrieval":
             sp.add_argument("--sentences", type=int, default=5)
-        if name in ("vcr", "nlvr2", "snli_ve", "guesswhat", "visdial"):
+        if name in ("vcr", "nlvr2", "snli_ve", "guesswhat", "visdial",
+                    "dense_caption", "madlibs"):
             sp.add_argument("--questions", type=int, default=20000)
+        if name == "madlibs":
+            sp.add_argument("--num_labels", type=int, default=3129)
         if name == "visual7w":
             sp.add_argument("--qa_per_image", type=int, default=3)
         if name == "refcoco":
@@ -670,7 +733,8 @@ def main():
      "snli_ve": gen_snli_ve, "refcoco": gen_refcoco,
      "guesswhat": gen_guesswhat,
      "flickr_grounding": gen_flickr_grounding,
-     "visdial": gen_visdial}[args.cmd](args)
+     "visdial": gen_visdial, "dense_caption": gen_dense_caption,
+     "madlibs": gen_madlibs}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -51,8 +51,18 @@ def _build_dataset(registry, cfg, tc, tokenizer, split_key, ann_key,
     from .data.features_reader import ImageFeaturesReader
 
     name = tc["name"]
+    extra = {}
+    if "num_labels" in tc:
+        import inspect
+
+        if "num_labels" in inspect.signature(
+                registry[name].__init__).parameters:
+            # answer-space size from the task yml, for datasets that take
+            # it directly (VisMadLibs) rather than from answer pickles
+            extra["num_labels"] = tc["num_labels"]
     return registry[name](
         task=name,
+        **extra,
         dataroot=tc["dataroot"],
         annotations_jsonpath=tc.get(ann_key, ""),
         split=tc[split_key],
