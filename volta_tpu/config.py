@@ -173,6 +173,12 @@ class VoltaConfig:
     # (all CTRL dual-stream configs qualify); falls back per-stream
     # otherwise.
     fuse_dual_stream: bool = True
+    # Sub-flag of fuse_dual_stream: in parameter-shared sublayers also run
+    # the Q/K/V input projections over the concatenated sequence (one
+    # matmul instead of two). Separated out because the concat+slice
+    # copies around the bigger matmul can cost more than the launch saves
+    # — A/B'd independently on hardware.
+    fuse_dual_qkv: bool = True
 
     _KNOWN = None  # populated below
 

@@ -213,7 +213,7 @@ class GatedAttentionSublayer(nn.Module):
         lt = t.shape[1]
         fuse_dual = self._dual_fusable(output_probs)
 
-        if fuse_dual and spec.share_params:
+        if fuse_dual and spec.share_params and self.cfg.fuse_dual_qkv:
             # shared weights: one QKV matmul over [text ‖ vision] replaces
             # the two per-stream applications of the same Linear
             # (reference runs it twice, volta/encoders.py:258-281)
