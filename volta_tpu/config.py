@@ -166,18 +166,27 @@ class VoltaConfig:
     # tests/test_fused_dual_stream.py). Parameter-shared sublayers (LXMERT
     # cross-attention) additionally compute QKV and the output projection
     # over the concatenated sequence: one matmul each instead of two.
-    # Motivation: the round-4 lxmert trace showed 15.6 ms/step of
-    # elementwise loop fusions vs 9.4 ms for the fused single-stream path —
-    # the delta is exactly these duplicated short chains. Requires
-    # hidden_size == v_hidden_size and equal hidden dropout rates
-    # (all CTRL dual-stream configs qualify); falls back per-stream
-    # otherwise.
-    fuse_dual_stream: bool = True
+    # Motivation was the round-4 lxmert trace: 15.6 ms/step of elementwise
+    # loop fusions vs the fused single-stream path's 9.4 — the delta is
+    # the duplicated short chains. MEASURED AND REFUTED on v5e (round 5,
+    # b256 VQA step, logs/bench_*_r5a.log): lxmert 87.6 ms fused vs 82.9
+    # unfused (-5.7%), vilbert 89.7 vs 85.8 (-4.5%, no shared sublayers —
+    # the chain fusion alone loses). The fused trace
+    # (logs/trace_lxmert_r5a_analysis.log) shows loop fusions at 17.9
+    # ms/step, HIGHER than unfused: the [B, Lt+Lv, H] concats materialise
+    # new buffers and break XLA's matmul-epilogue fusion of the per-stream
+    # chains, costing more HBM traffic than the merged chain saves — the
+    # same mechanism that sank the fused_residual kernel and the merged
+    # QKV weight in rounds 1-2. Default OFF; kept opt-in (bit-equality
+    # tested both ways) for wider-model shapes where the trade may flip.
+    # Requires hidden_size == v_hidden_size and equal hidden dropout
+    # rates; falls back per-stream otherwise.
+    fuse_dual_stream: bool = False
     # Sub-flag of fuse_dual_stream: in parameter-shared sublayers also run
     # the Q/K/V input projections over the concatenated sequence (one
     # matmul instead of two). Separated out because the concat+slice
     # copies around the bigger matmul can cost more than the launch saves
-    # — A/B'd independently on hardware.
+    # (lxmert, which adds this piece, lost 1.2% more than vilbert).
     fuse_dual_qkv: bool = True
 
     _KNOWN = None  # populated below
