@@ -50,7 +50,16 @@ def main():
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace of the timed "
                         "device-only loop (first target) into this dir")
+    p.add_argument("--nce_chunk", type=int, default=0,
+                   help="force the NCE blockwise score scan with this "
+                        "chunk size (0 = dense-path default)")
     args = p.parse_args()
+
+    if args.nce_chunk:
+        from volta_tpu import losses
+        losses._NCE_DENSE_SCORE_BYTES = 0
+        losses._NCE_CHUNK = args.nce_chunk
+        print(f"NCE forced to blockwise scan, chunk={args.nce_chunk}")
 
     import jax
 

@@ -223,8 +223,15 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
     # negative *vectors* ([b, r, N, d] = 19 GB at reference shapes) blows
     # HBM, while all-pairs scores are only [b, r, b*r]. Large score
     # matrices (or an explicit score_chunk) go through the blockwise scan.
-    flat = image_feat.reshape(b * r, d).astype(jnp.float32)
-    predf = pred.astype(jnp.float32)
+    # The matmuls run on the INPUTS' dtype with f32 accumulation
+    # (preferred_element_type below): with the bf16 feature store the
+    # all-pairs matmul rides the bf16 MXU rate — the old f32 upcast added
+    # no information (inputs were bf16-quantized) but ran the 1.47-TFLOP
+    # matmul at the f32 rate, ~24 ms/step of the round-4 NCE deficit
+    # (logs/trace_cc_nce_r5_analysis.log). fp32 inputs (the golden tests'
+    # torch-parity path) still take the f32 matmul: numerics unchanged.
+    flat = image_feat.reshape(b * r, d)
+    predf = pred.astype(image_feat.dtype)
     if score_chunk is None and b * r * b * r * 4 > _NCE_DENSE_SCORE_BYTES:
         score_chunk = _NCE_CHUNK
     if score_chunk:
@@ -233,8 +240,8 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
         all_scores = jnp.einsum("brd,md->brm", predf, flat,
                                 preferred_element_type=jnp.float32)
         neg_scores = jnp.take_along_axis(all_scores, neg_idx, axis=-1)
-    pos_scores = jnp.einsum("brd,brd->br", predf,
-                            image_feat.astype(jnp.float32))
+    pos_scores = jnp.einsum("brd,brd->br", predf, image_feat,
+                            preferred_element_type=jnp.float32)
     scores = jnp.concatenate([pos_scores[..., None], neg_scores], axis=-1)
     logp = jax.nn.log_softmax(scores, axis=-1)
     nll = -logp[..., 0]  # positive is class 0
