@@ -432,3 +432,98 @@ def test_eval_dump_attn_cli(workdir):
     np.testing.assert_allclose(joint, 1.0, atol=1e-5)
     assert any(k.endswith("_queries") for k in z.files)
     assert any(k.endswith("_v_intra_attn") for k in z.files)
+
+
+@pytest.mark.slow
+def test_orphan_datasets_cli_e2e(tmp_path):
+    """ReferDenseCaption + VisMadLibs through the full train_task CLI on
+    synthetic corpora (the num_labels-threading path and V-logit IoU
+    targets; TPU twins: tools/run_hw_r5b.sh)."""
+    import subprocess
+
+    from volta_tpu import zoo
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+
+    def run(*args):
+        out = subprocess.run([sys.executable, *args], capture_output=True,
+                             text=True, cwd=repo, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out
+
+    base = str(tmp_path)
+    run("tools/make_synth_data.py", "vqa", "--out", f"{base}/vqa",
+        "--images", "60", "--questions", "30", "--boxes", "6",
+        "--feat_dim", "32")
+    run("tools/make_synth_data.py", "dense_caption", "--out", f"{base}/dc",
+        "--images", "60", "--questions", "40")
+    run("tools/make_synth_data.py", "madlibs", "--out", f"{base}/ml",
+        "--images", "60", "--questions", "40", "--num_labels", "16")
+
+    cfg = zoo.single_stream(
+        "uniter", depth=2, hidden_size=48, num_attention_heads=4,
+        intermediate_size=64, pooler_size=48, v_pooler_size=48,
+        vocab_size=30522, max_position_embeddings=64, v_feature_size=32,
+        v_hidden_size=48, v_num_attention_heads=4, v_intermediate_size=64,
+        clf_hidden_size=32)
+    with open(f"{base}/model.json", "w") as f:
+        f.write(cfg.to_json_string())
+
+    def task_yml(path, body):
+        with open(path, "w") as f:
+            f.write(body)
+
+    task_yml(f"{base}/dc_tasks.yml", f"""TASK21:
+  name: ReferDenseCaption
+  type: V-logit
+  loss: BCEWithLogitLoss
+  process: normal
+  task_id: 21
+  dataroot: {base}/dc
+  features_h5path1: {base}/vqa/features.lmdb
+  features_h5path2: {base}/vqa/features.lmdb
+  train_annotations_jsonpath: {base}/dc/region_descriptions.json
+  val_annotations_jsonpath: {base}/dc/region_descriptions.json
+  max_seq_length: 12
+  max_region_num: 6
+  batch_size: 8
+  train_split: test
+  val_split: test
+  lr: 0.0004
+  num_epoch: 1
+""")
+    task_yml(f"{base}/ml_tasks.yml", f"""TASK22:
+  name: VisMadLibs
+  type: VL-classifier
+  loss: BCEWithLogitLoss
+  process: normal
+  task_id: 22
+  dataroot: {base}/ml
+  features_h5path1: {base}/vqa/features.lmdb
+  features_h5path2: ''
+  train_annotations_jsonpath: {base}/ml/madlibs_train.json
+  val_annotations_jsonpath: {base}/ml/madlibs_train.json
+  max_seq_length: 12
+  max_region_num: 6
+  batch_size: 8
+  num_labels: 16
+  train_split: train
+  val_split: train
+  lr: 0.0004
+  num_epoch: 1
+""")
+    for task, yml, save in (("21", "dc_tasks.yml", "dc_save"),
+                            ("22", "ml_tasks.yml", "ml_save")):
+        out = run("train_task.py", "--config_file", f"{base}/model.json",
+                  "--tasks_config_file", f"{base}/{yml}", "--task", task,
+                  "--vocab_file", f"{base}/vqa/vocab.txt",
+                  "--output_dir", f"{base}/{save}",
+                  "--logdir", f"{base}/logs{task}",
+                  "--num_train_epochs", "1", "--num_workers", "0",
+                  "--compute_dtype", "float32", "--no_pallas",
+                  "--clip_grad_norm", "1.0")
+        assert "done; best val score" in out.stdout + out.stderr
