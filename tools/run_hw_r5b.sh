@@ -11,6 +11,19 @@ cd /root/repo
 SYNTH=${SYNTH:-/root/repo/.synth}
 mkdir -p logs
 
+# wait out tunnel outages before each TPU job (the known multi-hour
+# UNAVAILABLE windows, CLAUDE.md): bounded subprocess probes
+wait_backend() {
+  for i in $(seq 1 60); do
+    if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "backend unavailable, retry $i/60 ($(date))"
+    sleep 240
+  done
+  echo "backend never came back"; exit 1
+}
+
 # ---------- 1. pretraining chapter ----------
 if [ ! -d "$SYNTH/cc" ]; then
   echo "=== generating synth cc ($(date))"
@@ -25,28 +38,35 @@ python -u tools/bench_pretrain.py --data "$SYNTH/cc" \
 }
 grep "device-only" logs/bench_pretrain_r5b.log | tail -8
 
+grep -q "device self time" logs/trace_cc_kl_r5_analysis.log 2>/dev/null || {
+wait_backend
 echo "=== CC kl trace ($(date))"
 python -u tools/bench_pretrain.py --data "$SYNTH/cc" --targets kl \
   --steps 20 --skip_loader --trace /tmp/trace_cc_kl_r5 > logs/bench_cc_kl_trace_r5.log 2>&1
 python tools/analyze_trace.py /tmp/trace_cc_kl_r5 \
   > logs/trace_cc_kl_r5_analysis.log 2>&1 || true
 tail -15 logs/trace_cc_kl_r5_analysis.log
+}
 
+grep -q "device self time" logs/trace_cc_nce_r5_analysis.log 2>/dev/null || {
+wait_backend
 echo "=== CC nce trace ($(date))"
 python -u tools/bench_pretrain.py --data "$SYNTH/cc" --targets nce \
   --steps 20 --skip_loader --trace /tmp/trace_cc_nce_r5 > logs/bench_cc_nce_trace_r5.log 2>&1
 python tools/analyze_trace.py /tmp/trace_cc_nce_r5 \
   > logs/trace_cc_nce_r5_analysis.log 2>&1 || true
 tail -15 logs/trace_cc_nce_r5_analysis.log
+}
 
 # ---------- 2. int8 eval ladder ----------
 for b in 64 256 1024; do
   for q in "" "--quantize int8"; do
     tag=$( [ -z "$q" ] && echo bf16 || echo int8 )
     log=logs/bench_evalfwd_b${b}_${tag}_r5.log
-    grep -q pairs /dev/null 2>/dev/null
+    grep -q "pairs/sec" "$log" 2>/dev/null && continue
+    wait_backend
     echo "=== eval forward b$b $tag ($(date))"
-    python -u tools/bench_eval_forward.py --batch $b $q > "$log" 2>&1
+    timeout 2400 python -u tools/bench_eval_forward.py --batch $b $q > "$log" 2>&1
     tail -1 "$log"
   done
 done
@@ -58,6 +78,8 @@ if [ ! -f "$SYNTH/retrieval/tasks.yml" ]; then
 fi
 for q in "" "--quantize int8"; do
   tag=$( [ -z "$q" ] && echo bf16 || echo int8 )
+  grep -q "retrieval" logs/bench_retrieval_${tag}_r5.log 2>/dev/null && continue
+  wait_backend
   echo "=== retrieval gallery $tag ($(date))"
   python -u eval_retrieval.py \
     --config_file configs/ctrl_uniter_base.json \
@@ -122,6 +144,7 @@ TASK22:
   num_epoch: 1
 YML
 
+wait_backend
 echo "=== ctrl_uniter ReferDenseCaption smoke ($(date))"
 python -u train_task.py \
   --config_file configs/ctrl_uniter_base.json \
@@ -134,6 +157,7 @@ python -u train_task.py \
   > logs/hw_dense_caption_r5.log 2>&1
 grep -E "VAL epoch|steps" logs/hw_dense_caption_r5.log | tail -3
 
+wait_backend
 echo "=== ctrl_uniter VisMadLibs smoke ($(date))"
 python -u train_task.py \
   --config_file configs/ctrl_uniter_base.json \
