@@ -53,6 +53,9 @@ def main():
     p.add_argument("--nce_chunk", type=int, default=0,
                    help="force the NCE blockwise score scan with this "
                         "chunk size (0 = dense-path default)")
+    p.add_argument("--nce_score_f32", action="store_true",
+                   help="A/B control: force the f32 score tensor instead "
+                        "of the input-dtype (bf16) one")
     args = p.parse_args()
 
     if args.nce_chunk:
@@ -60,6 +63,10 @@ def main():
         losses._NCE_DENSE_SCORE_BYTES = 0
         losses._NCE_CHUNK = args.nce_chunk
         print(f"NCE forced to blockwise scan, chunk={args.nce_chunk}")
+    if args.nce_score_f32:
+        from volta_tpu import losses
+        losses._NCE_SCORE_DTYPE_FOLLOWS_INPUT[0] = False
+        print("NCE score tensor forced to f32")
 
     import jax
 

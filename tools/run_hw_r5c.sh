@@ -9,7 +9,13 @@ cd /root/repo
 SYNTH=${SYNTH:-/root/repo/.synth}
 mkdir -p logs
 
-echo "=== nce dense, bf16 score matmuls ($(date))"
+echo "=== nce dense, bf16 matmuls + f32 scores (A/B control) ($(date))"
+python -u tools/bench_pretrain.py --data "$SYNTH/cc" --targets nce \
+  --steps 30 --skip_loader --device_store --nce_score_f32 \
+  > logs/bench_nce_bf16mm_f32s_r5c.log 2>&1
+grep device-only logs/bench_nce_bf16mm_f32s_r5c.log
+
+echo "=== nce dense, bf16 matmuls + bf16 scores ($(date))"
 python -u tools/bench_pretrain.py --data "$SYNTH/cc" --targets nce \
   --steps 30 --skip_loader --device_store \
   > logs/bench_nce_bf16_r5c.log 2>&1

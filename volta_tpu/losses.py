@@ -177,6 +177,9 @@ def _chunked_neg_scores(predf, flat, neg_idx, chunk: int):
 # scan only guards genuinely larger batches.
 _NCE_DENSE_SCORE_BYTES = 1536 * 2**20
 _NCE_CHUNK = 4096
+# bf16 inputs -> bf16 score tensor (see nce_2048); [False] forces f32
+# scores for A/B (tools/bench_pretrain.py --nce_score_f32)
+_NCE_SCORE_DTYPE_FOLLOWS_INPUT = [True]
 
 
 def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
@@ -239,7 +242,18 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
     else:
         all_scores = jnp.einsum("brd,md->brm", predf, flat,
                                 preferred_element_type=jnp.float32)
-        neg_scores = jnp.take_along_axis(all_scores, neg_idx, axis=-1)
+        if _NCE_SCORE_DTYPE_FOLLOWS_INPUT[0] \
+                and predf.dtype != jnp.float32:
+            # sub-f32 inputs (the bf16 feature store): keep the [b, r,
+            # b*r] score tensor in bf16 too — halves its HBM footprint
+            # and the gather/scatter tile traffic that dominates the NCE
+            # step's non-matmul overhead (35 fwd + 21 bwd ms/step in
+            # logs/trace_cc_nce_r5_analysis.log). Only the 127 sampled
+            # scalars are upcast for the softmax. f32 inputs keep f32
+            # scores (torch-golden parity path untouched).
+            all_scores = all_scores.astype(predf.dtype)
+        neg_scores = jnp.take_along_axis(all_scores, neg_idx,
+                                         axis=-1).astype(jnp.float32)
     pos_scores = jnp.einsum("brd,brd->br", predf, image_feat,
                             preferred_element_type=jnp.float32)
     scores = jnp.concatenate([pos_scores[..., None], neg_scores], axis=-1)
