@@ -71,11 +71,38 @@ for b in 64 256 1024; do
   done
 done
 
-if [ ! -f "$SYNTH/retrieval/tasks.yml" ]; then
+if [ ! -f "$SYNTH/vqa/features.lmdb" ]; then
+  echo "=== generating synth vqa features ($(date))"
+  python tools/make_synth_data.py vqa --out "$SYNTH/vqa" \
+    --images 4000 --questions 1000
+fi
+if [ ! -f "$SYNTH/retrieval/all_data_final_test_set0_2014.jsonline" ]; then
   echo "=== generating synth retrieval ($(date))"
   python tools/make_synth_data.py retrieval --out "$SYNTH/retrieval" \
     --images 2000
 fi
+cat > "$SYNTH/retrieval/tasks.yml" <<YML
+TASK8:
+  name: RetrievalFlickr30k
+  type: VL-logit
+  num_labels: 1
+  loss: CrossEntropyLoss
+  process: retrieval
+  task_id: 8
+  dataroot: $SYNTH/retrieval
+  features_h5path1: $SYNTH/vqa/features.lmdb
+  features_h5path2: ''
+  train_annotations_jsonpath: $SYNTH/retrieval/all_data_final_test_set0_2014.jsonline
+  val_annotations_jsonpath: $SYNTH/retrieval/all_data_final_test_set0_2014.jsonline
+  max_seq_length: 30
+  max_region_num: 36
+  batch_size: 64
+  eval_batch_size: 1
+  train_split: train
+  val_split: test
+  lr: 0.00002
+  num_epoch: 1
+YML
 for q in "" "--quantize int8"; do
   tag=$( [ -z "$q" ] && echo bf16 || echo int8 )
   grep -q "retrieval" logs/bench_retrieval_${tag}_r5.log 2>/dev/null && continue
