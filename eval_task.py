@@ -60,6 +60,7 @@ def dump_attn_maps(attn, qids, path, row_index=None):
     ``row_qid_index`` / ``row_option`` / ``row_round`` — so expanded
     processes (expand / retrieval / nlvr / dialog) are self-describing."""
     arrays = {"question_id": np.asarray(qids)}
+    n_meta = 1 + len(row_index or {})
     for k, v in (row_index or {}).items():
         arrays[k] = np.asarray(v)
     for li, (t_data, v_data) in enumerate(attn):
@@ -69,7 +70,7 @@ def dump_attn_maps(attn, qids, path, row_index=None):
                     arrays[f"s{li:02d}_{stream}_{key}"] = \
                         np.asarray(val, dtype=np.float32)
     np.savez_compressed(path, **arrays)
-    return len(arrays) - 1
+    return len(arrays) - n_meta
 
 
 def collect_results(task_type, prediction, batch, info, dataset, results):

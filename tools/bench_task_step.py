@@ -80,6 +80,12 @@ def main():
             val = _json.loads(val)
         except ValueError:
             pass
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool) and not isinstance(val, bool):
+            # "False" (Python spelling) would set a truthy string and
+            # silently measure the wrong arm of an A/B
+            raise SystemExit(
+                f"--set: {key} is a bool; use true/false (got {val!r})")
         setattr(cfg, key, val)
         print(f"override: cfg.{key} = {val!r}")
     task_cfg = load_task_config(args.tasks_config_file)

@@ -149,11 +149,17 @@ def main():
         from volta_tpu.ops.int8_dense import calibrate_activation_scales
         apply_fn = lambda v, *b: model.apply(
             v, b[0], b[1], b[2], task, b[3], b[4], b[5])
-        act_scales = calibrate_activation_scales(
-            apply_fn, variables,
-            calib_batches if calib_batches is not None else
-            [rand_batch(s + 1) for s in range(args.calibrate_batches)])
-        print(f"calibrated {len(act_scales)} activation scales")
+        if calib_batches is not None:
+            # hold the last npz batch OUT of calibration — it is the
+            # --check comparison batch, and a check on a calibrated batch
+            # can never observe out-of-range clipping
+            cal = calib_batches[:-1] if len(calib_batches) > 1 \
+                else calib_batches
+        else:
+            cal = [rand_batch(s + 1) for s in range(args.calibrate_batches)]
+        act_scales = calibrate_activation_scales(apply_fn, variables, cal)
+        print(f"calibrated {len(act_scales)} activation scales "
+              f"on {len(cal)} batches")
 
     exported = vexport.export_task_forward(
         cfg, task_cfg, task, variables, bs, seq_len,

@@ -29,6 +29,9 @@ def extract(infile: str, dataset: str, split: str,
             test1k_ids: str = "") -> list:
     images = json.load(open(infile))["images"]
     name = SPLIT2NAME[split]
+    if split == "test1k" and dataset != "mscoco":
+        raise SystemExit("--split test1k is mscoco-only (Karpathy flickr "
+                         "has no test1k subset)")
     if dataset == "mscoco" and split == "test1k":
         if not test1k_ids:
             raise SystemExit("--test1k_ids required for split test1k")

@@ -46,13 +46,12 @@ def matmul_flops(m, n, k):
     return 2.0 * m * n * k
 
 
-def forward_flops(cfg: VoltaConfig, lt: int, regions: int,
-                  num_answers: int = 3129) -> float:
+def encoder_flops(cfg: VoltaConfig, lt: int, regions: int) -> float:
+    """The shared trunk: vision feature projection + every gated
+    attention/FFN sublayer as built (volta_tpu/models/encoder.py)."""
     lv = regions + (1 if cfg.add_global_imgfeat else 0)
     h, vh = cfg.hidden_size, cfg.v_hidden_size
-    f = 0.0
-    # vision feature projection (embeddings.py: v_feature_size -> v_hidden)
-    f += matmul_flops(lv, vh, cfg.v_feature_size)
+    f = matmul_flops(lv, vh, cfg.v_feature_size)
     for spec in cfg.sublayer_plan():
         if spec.kind == "attn":
             ah, vah = spec.attn_hidden_size, spec.v_attn_hidden_size
@@ -71,38 +70,19 @@ def forward_flops(cfg: VoltaConfig, lt: int, regions: int,
                 f += 2 * matmul_flops(lt, spec.intermediate_size, h)
             if spec.has_v_ff:
                 f += 2 * matmul_flops(lv, spec.v_intermediate_size, vh)
-    # poolers (1 row) + 2-layer task classifier (SimpleClassifier:
-    # pooled -> 2*pooled -> answers)
+    return f
+
+
+def forward_flops(cfg: VoltaConfig, lt: int, regions: int,
+                  num_answers: int = 3129) -> float:
+    """Fine-tune forward: trunk + poolers (1 row) + 2-layer task
+    classifier (SimpleClassifier: pooled -> 2*pooled -> answers)."""
+    h, vh = cfg.hidden_size, cfg.v_hidden_size
+    f = encoder_flops(cfg, lt, regions)
     pooled = cfg.pooler_size
     f += matmul_flops(1, pooled, h) + matmul_flops(1, cfg.v_pooler_size, vh)
     f += matmul_flops(1, 2 * pooled, pooled)
     f += matmul_flops(1, num_answers, 2 * pooled)
-    return f
-
-
-def encoder_flops(cfg: VoltaConfig, lt: int, regions: int) -> float:
-    """forward_flops minus poolers/classifier: the shared trunk."""
-    lv = regions + (1 if cfg.add_global_imgfeat else 0)
-    h, vh = cfg.hidden_size, cfg.v_hidden_size
-    f = matmul_flops(lv, vh, cfg.v_feature_size)
-    for spec in cfg.sublayer_plan():
-        if spec.kind == "attn":
-            ah, vah = spec.attn_hidden_size, spec.v_attn_hidden_size
-            if spec.has_text:
-                f += 3 * matmul_flops(lt, ah, h)
-                st = (lt if spec.has_tt else 0) + (lv if spec.has_tv else 0)
-                f += 2 * matmul_flops(lt, st, ah)
-                f += matmul_flops(lt, h, ah)
-            if spec.has_vision:
-                f += 3 * matmul_flops(lv, vah, vh)
-                sv = (lt if spec.has_vt else 0) + (lv if spec.has_vv else 0)
-                f += 2 * matmul_flops(lv, sv, vah)
-                f += matmul_flops(lv, vh, vah)
-        else:
-            if spec.has_t_ff:
-                f += 2 * matmul_flops(lt, spec.intermediate_size, h)
-            if spec.has_v_ff:
-                f += 2 * matmul_flops(lv, spec.v_intermediate_size, vh)
     return f
 
 

@@ -18,6 +18,13 @@ import sys
 def merge(out_path: str, chunks) -> int:
     csv.field_size_limit(sys.maxsize)
     seen = set()
+    # append semantics (like the reference): seed the dedup set from rows
+    # already in the output so a rerun after a crash doesn't duplicate them
+    if os.path.exists(out_path):
+        with open(out_path, newline="") as f:
+            for row in csv.reader(f, delimiter="\t"):
+                if row:
+                    seen.add(row[0])
     n = 0
     with open(out_path, "a", newline="") as out:
         writer = csv.writer(out, delimiter="\t")

@@ -159,9 +159,15 @@ def _chunked_neg_scores(predf, flat, neg_idx, chunk: int):
         c, block = args
         s = jnp.einsum("brd,md->brm", predf, block,
                        preferred_element_type=jnp.float32)
+        if _NCE_SCORE_DTYPE_FOLLOWS_INPUT[0] \
+                and predf.dtype != jnp.float32:
+            # same rounding as the dense path's bf16 score tensor, so the
+            # two paths stay numerically identical per the contract above
+            s = s.astype(predf.dtype)
         off = neg_idx - c * chunk
         valid = (off >= 0) & (off < chunk)
-        got = jnp.take_along_axis(s, jnp.clip(off, 0, chunk - 1), axis=-1)
+        got = jnp.take_along_axis(
+            s, jnp.clip(off, 0, chunk - 1), axis=-1).astype(jnp.float32)
         return acc + jnp.where(valid, got, 0.0), None
 
     init = jnp.zeros(neg_idx.shape, jnp.float32)
@@ -233,8 +239,11 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
     # matmul at the f32 rate, ~24 ms/step of the round-4 NCE deficit
     # (logs/trace_cc_nce_r5_analysis.log). fp32 inputs (the golden tests'
     # torch-parity path) still take the f32 matmul: numerics unchanged.
-    flat = image_feat.reshape(b * r, d)
-    predf = pred.astype(image_feat.dtype)
+    # promote, don't downcast: f32 anywhere (the parity/debug configs)
+    # keeps the f32 matmul; only all-bf16 inputs take the bf16 MXU path
+    score_dtype = jnp.promote_types(pred.dtype, image_feat.dtype)
+    flat = image_feat.reshape(b * r, d).astype(score_dtype)
+    predf = pred.astype(score_dtype)
     if score_chunk is None and b * r * b * r * 4 > _NCE_DENSE_SCORE_BYTES:
         score_chunk = _NCE_CHUNK
     if score_chunk:
