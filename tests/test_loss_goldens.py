@@ -253,3 +253,37 @@ def test_kl_zero_target_convention():
                           image_cls=jnp.asarray(cls)))
     assert np.isfinite(got)
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_nce_2048_bf16_paths_agree():
+    """bf16 inputs (the production feature-store dtype): the dense path's
+    bf16 score tensor and the blockwise scan's per-chunk rounding must
+    stay bit-compatible (round-5 contract in losses._chunked_neg_scores),
+    and the bf16 loss must sit near the f32 one."""
+    f = _fix(b=4, r=6)
+    b, r, d = f["image_feat"].shape
+    rng = np.random.RandomState(11)
+    pred = rng.randn(b, r, d).astype(np.float32)
+    neg_idx = rng.randint(0, b * r, (b, r, 8)).astype(np.int64)
+
+    feat16 = jnp.asarray(f["image_feat"], jnp.bfloat16)
+    pred16 = jnp.asarray(pred, jnp.bfloat16)
+    kw = dict(image_feat=feat16, neg_idx=jnp.asarray(neg_idx))
+    dense16 = float(L.nce_2048(pred16, 0.7, jnp.asarray(f["label"]),
+                               score_chunk=0, **kw))
+    for chunk in (5, 8, 64):
+        got = float(L.nce_2048(pred16, 0.7, jnp.asarray(f["label"]),
+                               score_chunk=chunk, **kw))
+        assert got == pytest.approx(dense16, abs=1e-6), chunk
+    # mixed f32 pred x bf16 feat promotes to the f32 matmul (no silent
+    # downcast of full-precision predictions — review contract)
+    mixed = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                             jnp.asarray(f["label"]), score_chunk=0,
+                             image_feat=feat16,
+                             neg_idx=jnp.asarray(neg_idx)))
+    dense32 = float(L.nce_2048(jnp.asarray(pred), 0.7,
+                               jnp.asarray(f["label"]), score_chunk=0,
+                               image_feat=jnp.asarray(f["image_feat"]),
+                               neg_idx=jnp.asarray(neg_idx)))
+    assert dense16 == pytest.approx(dense32, rel=0.05)
+    assert mixed == pytest.approx(dense32, rel=0.02)
