@@ -287,3 +287,41 @@ def test_nce_2048_bf16_paths_agree():
                                neg_idx=jnp.asarray(neg_idx)))
     assert dense16 == pytest.approx(dense32, rel=0.05)
     assert mixed == pytest.approx(dense32, rel=0.02)
+
+
+def test_nce_shared_negatives_mode():
+    """Opt-in shared-cross-batch-negative NCE (losses._nce_shared): same
+    score layout (1 positive + 127 negatives), finite loss near the
+    per-query-sampled one, deterministic per rng, and in-batch columns
+    never hit the query's own region."""
+    f = _fix(b=4, r=6)
+    b, r, d = f["image_feat"].shape
+    rng = np.random.RandomState(13)
+    pred = jnp.asarray(rng.randn(b, r, d).astype(np.float32))
+    feat = jnp.asarray(f["image_feat"])
+    lbl = jnp.asarray(f["label"])
+    key = jax.random.PRNGKey(5)
+
+    L._NCE_SHARED_NEGATIVES[0] = True
+    try:
+        shared = float(L.nce_2048(pred, 0.7, lbl, image_feat=feat, rng=key))
+        shared2 = float(L.nce_2048(pred, 0.7, lbl, image_feat=feat,
+                                   rng=key))
+        other = float(L.nce_2048(pred, 0.7, lbl, image_feat=feat,
+                                 rng=jax.random.PRNGKey(9)))
+    finally:
+        L._NCE_SHARED_NEGATIVES[0] = False
+    sampled = float(L.nce_2048(pred, 0.7, lbl, image_feat=feat, rng=key))
+    assert np.isfinite(shared)
+    assert shared == shared2          # deterministic per rng
+    assert shared != other            # rng actually drives the draw
+    # same objective scale: both are CE over 1-of-128 with the same
+    # marginal negative distribution
+    assert shared == pytest.approx(sampled, rel=0.25)
+
+    # the in-batch column remap never selects the query's own region
+    k1, k3 = jax.random.split(key, 2)
+    col = jax.random.randint(k3, (b, r, int(128 * 0.3)), 0, r - 1)
+    own = jnp.arange(r)[None, :, None]
+    col = jnp.where(col == own, r - 1, col)
+    assert not bool(jnp.any(col == own))

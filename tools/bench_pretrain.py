@@ -56,6 +56,10 @@ def main():
     p.add_argument("--nce_score_f32", action="store_true",
                    help="A/B control: force the f32 score tensor instead "
                         "of the input-dtype (bf16) one")
+    p.add_argument("--nce_shared_negatives", action="store_true",
+                   help="opt-in shared cross-batch negatives (see "
+                        "losses._NCE_SHARED_NEGATIVES): removes the "
+                        "all-pairs score matmul + giant gather")
     args = p.parse_args()
 
     if args.nce_chunk:
@@ -67,6 +71,10 @@ def main():
         from volta_tpu import losses
         losses._NCE_SCORE_DTYPE_FOLLOWS_INPUT[0] = False
         print("NCE score tensor forced to f32")
+    if args.nce_shared_negatives:
+        from volta_tpu import losses
+        losses._NCE_SHARED_NEGATIVES[0] = True
+        print("NCE shared cross-batch negatives ON")
 
     import jax
 

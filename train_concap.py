@@ -96,6 +96,14 @@ def parse_args():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator from env, one process per host)")
+    p.add_argument("--nce_shared_negatives", action="store_true",
+                   help="opt-in TPU-native NCE scheme: one shared set of "
+                        "cross-batch negatives per step (plus the "
+                        "reference's per-query in-batch draws) — removes "
+                        "the all-pairs score matmul + giant gather that "
+                        "make the reference-sampled NCE 26%% slower than "
+                        "kl; NOT sampling-parity with the reference "
+                        "(see volta_tpu/losses._NCE_SHARED_NEGATIVES)")
     p.add_argument("--steps_per_epoch", default=0, type=int,
                    help="cap steps per epoch (debug)")
     return p.parse_args()
@@ -105,6 +113,11 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.nce_shared_negatives:
+        from volta_tpu import losses
+
+        losses._NCE_SHARED_NEGATIVES[0] = True
 
     from volta_tpu.checkpoint import (from_pretrained, latest_step,
                                       restore_train_state, save_train_state)

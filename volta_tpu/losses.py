@@ -186,6 +186,55 @@ _NCE_CHUNK = 4096
 # bf16 inputs -> bf16 score tensor (see nce_2048); [False] forces f32
 # scores for A/B (tools/bench_pretrain.py --nce_score_f32)
 _NCE_SCORE_DTYPE_FOLLOWS_INPUT = [True]
+# Opt-in TPU-native NCE negative scheme (--nce_shared_negatives on the
+# pretraining CLI / bench): one SHARED set of 89 cross-batch candidate
+# rows per step instead of 89 per-query draws, plus the reference's 38
+# per-query in-batch draws gathered from the small [b, r, r] in-image
+# score tensor. This removes the [b*r, b*r] all-pairs matmul (1.47 TFLOP/
+# step at reference shapes) and the 2.4M-element gather/scatter on its
+# 1.4 GB output — the two costs the round-5 trace shows as the whole NCE
+# deficit (analysis: logs/trace_cc_nce_r5*_analysis.log; byte-halving the
+# score tensor measured flat, so the gather is per-index-bound and only a
+# structural change removes it). Sampling-distribution caveat: each
+# negative's marginal distribution is unchanged (uniform over the batch),
+# but cross-batch negatives are shared across queries within a step
+# (standard practice in large-scale contrastive training, e.g.
+# in-batch-negative schemes) and a query's own row is not excluded
+# (~0.5% collision at b512 r37) — NOT bit-parity with the reference's
+# per-query sampling, hence opt-in.
+_NCE_SHARED_NEGATIVES = [False]
+
+
+def _nce_shared(pred, weight, label, image_feat, rng, num_negative):
+    """Shared-cross-batch-negative NCE (see _NCE_SHARED_NEGATIVES)."""
+    b, r, d = image_feat.shape
+    n_across = int(num_negative * 0.7)
+    n_inside = int(num_negative * 0.3)
+    score_dtype = jnp.promote_types(pred.dtype, image_feat.dtype)
+    predf = pred.astype(score_dtype)
+    feat = image_feat.astype(score_dtype)
+    flat = feat.reshape(b * r, d)
+
+    k1, k3 = jax.random.split(rng, 2)
+    idx_shared = jax.random.randint(k1, (n_across,), 0, b * r)
+    cross = jnp.einsum("brd,nd->brn", predf,
+                       jnp.take(flat, idx_shared, axis=0),
+                       preferred_element_type=jnp.float32)
+    # in-batch: per-query draws from the OWN image's [r, r] score block
+    # (small batched matmul + gather from a VMEM-sized tensor)
+    in_scores = jnp.einsum("brd,bsd->brs", predf, feat,
+                           preferred_element_type=jnp.float32)
+    col_inside = jax.random.randint(k3, (b, r, n_inside), 0, r - 1)
+    own_col = jnp.arange(r)[None, :, None]
+    col_inside = jnp.where(col_inside == own_col, r - 1, col_inside)
+    inside = jnp.take_along_axis(in_scores, col_inside, axis=-1)
+
+    pos = jnp.einsum("brd,brd->br", predf, feat,
+                     preferred_element_type=jnp.float32)
+    scores = jnp.concatenate([pos[..., None], cross, inside], axis=-1)
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    nll = -logp[..., 0]
+    return weight * _masked_mean_positions(nll, label)
 
 
 def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
@@ -205,6 +254,9 @@ def nce_2048(pred, weight, label, image_cls=None, image_feat=None,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, r, d = image_feat.shape
+    if neg_idx is None and _NCE_SHARED_NEGATIVES[0]:
+        return _nce_shared(pred, weight, label, image_feat, rng,
+                           num_negative)
     if neg_idx is None:
         n_across = int(num_negative * 0.7)
         n_inside = int(num_negative * 0.3)
